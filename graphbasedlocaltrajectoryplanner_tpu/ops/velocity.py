@@ -1,0 +1,327 @@
+"""Velocity-profile kernels (JAX) — forward-backward friction-circle solver,
+brake profile, follow-mode controller, acceleration profile, smoothing.
+
+TPU-native equivalents of tph ``calc_vel_profile`` / ``calc_vel_profile_brake``
+/ ``calc_ax_profile`` / ``conv_filt`` and the repo-local follow-mode law
+(reference ``graph_ltpl/helper_funcs/src/calc_vel_profile_follow.py``,
+``graph_ltpl/online_graph/src/VpForwardBackward.py``).
+
+Physics model (matches the reference's fb solver semantics):
+  * local gg per point: ``loc_gg[i] = (ax_max_i, ay_max_i)`` [m/s^2]
+  * friction shape ``dyn_model_exp`` in [1, 2]:
+        ax_avail_tires = ax_max * (1 - min(ay_used/ay_max, 1)^exp)^(1/exp)
+  * machine limit: ``ax_max_machines`` rows ``[v, ax]`` interpolated at v,
+    applied only while accelerating
+  * drag: ``ax_drag = -v^2 * drag_coeff / m_veh`` (reduces acceleration,
+    assists braking)
+
+All profiles operate on fixed-size padded arrays: beyond the true path end
+the element lengths must be zero, which makes every scan a no-op there
+(velocities simply carry through) — no dynamic shapes anywhere.
+
+Sequential dependence note: the fwd/bwd recurrences depend on v through the
+gg/machine interpolation, so they are genuine ``lax.scan``s (length <= ~160).
+Throughput comes from batching (vmap over actions x trajectories x
+scenarios), where each scan step processes the whole batch on the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+def _interp_sorted(x, xp, fp):
+    """np.interp for sorted xp (constant extrapolation), broadcastable x."""
+    return jnp.interp(x, xp, fp)
+
+
+def _ax_tires(v, kappa_abs, ax_max, ay_max, dyn_model_exp):
+    """Available longitudinal tire accel magnitude under lateral usage."""
+    ay_used = v * v * kappa_abs
+    frac = jnp.clip(ay_used / jnp.maximum(ay_max, _EPS), 0.0, 1.0)
+    radicand = 1.0 - jnp.power(frac, dyn_model_exp)
+    return ax_max * jnp.power(jnp.maximum(radicand, 0.0), 1.0 / dyn_model_exp)
+
+
+def calc_vel_profile_fb(kappa: jnp.ndarray,
+                        el_lengths: jnp.ndarray,
+                        loc_gg: jnp.ndarray,
+                        ax_max_machines: jnp.ndarray,
+                        v_max,
+                        v_start,
+                        v_end=None,
+                        dyn_model_exp: float = 1.0,
+                        drag_coeff: float = 0.85,
+                        m_veh: float = 1000.0,
+                        end_idx=None):
+    """Forward-backward velocity profile on an (optionally padded) path.
+
+    Equivalent of tph ``calc_vel_profile(..., closed=False)`` as invoked by
+    the reference fb planner (VpForwardBackward.py:213-225).
+
+    :param kappa:           (P,) curvature per point.
+    :param el_lengths:      (P,) distance point i -> i+1; **el_lengths[i] = 0
+                            for i >= end_idx - 1** (padding no-ops).
+    :param loc_gg:          (P, 2) local [ax_max, ay_max] per point.
+    :param ax_max_machines: (M, 2) rows [v, ax] — machine acceleration limit.
+    :param v_max:           scalar velocity cap.
+    :param v_start:         scalar start velocity (profile[0] = min(...,v_start)).
+    :param v_end:           optional scalar end-velocity constraint applied at
+                            ``end_idx - 1`` (and into the padding).
+    :param end_idx:         number of valid points (static or traced); default
+                            all P points valid.
+    :returns: (P,) velocity profile.
+    """
+    P = kappa.shape[0]
+    kappa_abs = jnp.abs(kappa)
+    ax_max = loc_gg[..., 0]
+    ay_max = loc_gg[..., 1]
+
+    # pointwise lateral-limit velocity
+    v_lat = jnp.sqrt(ay_max / jnp.maximum(kappa_abs, _EPS))
+    v0 = jnp.minimum(v_lat, v_max)
+
+    idx = jnp.arange(P)
+    if end_idx is None:
+        end_idx = P
+    if v_end is not None:
+        # clamp the last valid point and the padding to v_end so the backward
+        # pass propagates the boundary condition across zero-length padding
+        v0 = jnp.where(idx >= end_idx - 1, jnp.minimum(v0, v_end), v0)
+    v0 = v0.at[0].set(jnp.minimum(v0[0], v_start))
+
+    def accel(v, k_abs, axm, aym):
+        a_t = _ax_tires(v, k_abs, axm, aym, dyn_model_exp)
+        a_m = _interp_sorted(v, ax_max_machines[:, 0], ax_max_machines[:, 1])
+        return jnp.minimum(a_t, a_m) - v * v * drag_coeff / m_veh
+
+    def decel(v, k_abs, axm, aym):
+        a_t = _ax_tires(v, k_abs, axm, aym, dyn_model_exp)
+        return a_t + v * v * drag_coeff / m_veh
+
+    # ---- forward pass ----
+    def fwd(v_prev, inp):
+        k_abs, axm, aym, ds, v_lim = inp
+        a = accel(v_prev, k_abs, axm, aym)
+        v_next = jnp.sqrt(jnp.maximum(v_prev * v_prev + 2.0 * a * ds, 0.0))
+        v = jnp.minimum(v_next, v_lim)
+        return v, v
+
+    _, v_fwd_tail = jax.lax.scan(
+        fwd, v0[0],
+        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1], v0[1:]))
+    v_f = jnp.concatenate([v0[:1], v_fwd_tail])
+
+    # ---- backward pass (2-step conservative refinement like the reference
+    # solver's backwards re-evaluation) ----
+    def bwd(v_next, inp):
+        k_abs_n, axm_n, aym_n, k_abs_c, axm_c, aym_c, ds, v_lim = inp
+        a1 = decel(v_next, k_abs_n, axm_n, aym_n)
+        v_est = jnp.sqrt(v_next * v_next + 2.0 * a1 * ds)
+        a2 = decel(v_est, k_abs_c, axm_c, aym_c)
+        a = jnp.minimum(a1, a2)
+        v_prev = jnp.sqrt(jnp.maximum(v_next * v_next + 2.0 * a * ds, 0.0))
+        v = jnp.minimum(v_prev, v_lim)
+        return v, v
+
+    _, v_bwd_head = jax.lax.scan(
+        bwd, v_f[-1],
+        (kappa_abs[1:], ax_max[1:], ay_max[1:],
+         kappa_abs[:-1], ax_max[:-1], ay_max[:-1],
+         el_lengths[:-1], v_f[:-1]),
+        reverse=True)
+    v = jnp.concatenate([v_bwd_head, v_f[-1:]])
+    return v
+
+
+def calc_vel_profile_brake(kappa: jnp.ndarray,
+                           el_lengths: jnp.ndarray,
+                           loc_gg: jnp.ndarray,
+                           v_start,
+                           dyn_model_exp: float = 1.0,
+                           drag_coeff: float = 0.85,
+                           m_veh: float = 1000.0):
+    """Pure braking profile: decelerate as hard as the friction circle plus
+    drag allow until standstill (tph ``calc_vel_profile_brake``; reference
+    call sites VpForwardBackward.py:115,247, calc_vel_profile_follow.py:152,
+    calc_brake_emergency.py:31).
+
+    Shapes as in :func:`calc_vel_profile_fb`; returns (P,) velocities.
+    """
+    kappa_abs = jnp.abs(kappa)
+    ax_max = loc_gg[..., 0]
+    ay_max = loc_gg[..., 1]
+
+    def step(v, inp):
+        k_abs, axm, aym, ds = inp
+        a_t = _ax_tires(v, k_abs, axm, aym, dyn_model_exp)
+        a = a_t + v * v * drag_coeff / m_veh
+        v_next = jnp.sqrt(jnp.maximum(v * v - 2.0 * a * ds, 0.0))
+        return v_next, v_next
+
+    _, v_tail = jax.lax.scan(
+        step, jnp.asarray(v_start, kappa.dtype),
+        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1]))
+    return jnp.concatenate([jnp.asarray(v_start, kappa.dtype)[None], v_tail])
+
+
+def calc_ax_profile(vx_profile: jnp.ndarray, el_lengths: jnp.ndarray):
+    """Acceleration implied by a velocity profile (tph ``calc_ax_profile``):
+    ``ax_i = (v_{i+1}^2 - v_i^2) / (2 ds_i)``.  Zero where ``ds == 0``
+    (padding).  Returns (P-1,) for (P,) inputs."""
+    dv2 = vx_profile[1:] ** 2 - vx_profile[:-1] ** 2
+    return jnp.where(el_lengths[:len(dv2)] > _EPS,
+                     dv2 / jnp.maximum(2.0 * el_lengths[:len(dv2)], _EPS),
+                     0.0)
+
+
+def conv_filt(signal: jnp.ndarray, filt_window: int):
+    """Unclosed moving-average filter (tph ``conv_filt(closed=False)``):
+    interior points averaged over the odd window, edges kept asymmetric with
+    progressively smaller windows.  ``filt_window`` is static."""
+    if filt_window <= 1:
+        return signal
+    w = int(filt_window)
+    half = w // 2
+    kernel = jnp.ones((w,)) / w
+    mid = jnp.convolve(signal, kernel, mode='same')
+    out = signal
+    n = signal.shape[0]
+    idx = jnp.arange(n)
+    interior = (idx >= half) & (idx < n - half)
+    return jnp.where(interior, mid, signal)
+
+
+def follow_control_vel(control_params: dict,
+                       obj_dist,
+                       control_d,
+                       v_obj,
+                       v_ego,
+                       control_type: str = "PD"):
+    """Follow-mode desired velocity (reference
+    calc_vel_profile_follow.py:28-75): PD or PD-with-tan control law."""
+    if control_type == "PD":
+        return (v_obj - control_params["k_p"] * (control_d - obj_dist)
+                + control_params["k_d"] * (v_obj - v_ego))
+    elif control_type == "PDtan":
+        arg = jnp.clip((control_d - obj_dist) * jnp.pi / 2.0 / control_params["tan_w"],
+                       -jnp.pi / 2 + 1e-5, jnp.pi / 2 - 1e-5)
+        return (v_obj - jnp.tan(arg) * control_params["k_p"]
+                + control_params["k_d"] * (v_obj - v_ego))
+    raise ValueError(f"unsupported control type {control_type!r}")
+
+
+def stop_distance(v_brake: jnp.ndarray, el_lengths: jnp.ndarray,
+                  v_thresh: float = 0.1):
+    """Distance travelled until a brake profile falls below ``v_thresh``
+    (reference calc_vel_profile_follow.py:161-166): sum of element lengths
+    while v > 0.1."""
+    moving = v_brake > v_thresh
+    n = el_lengths.shape[0]
+    return jnp.sum(jnp.where(moving[:n], el_lengths, 0.0))
+
+
+def calc_vel_profile_follow(kappa: jnp.ndarray,
+                            el_lengths: jnp.ndarray,
+                            loc_gg: jnp.ndarray,
+                            ax_max_machines: jnp.ndarray,
+                            v_start,
+                            v_ego,
+                            v_obj,
+                            v_max,
+                            safety_d,
+                            veh_length,
+                            obj_dist,
+                            opp_stop_dist,
+                            opp_vel_at,
+                            control_params: dict,
+                            control_type: str = "PD",
+                            dyn_model_exp: float = 1.0,
+                            drag_coeff: float = 0.85,
+                            m_veh: float = 1000.0):
+    """Follow-mode velocity profile (reference
+    calc_vel_profile_follow.py:78-313), fully vectorized / jittable.
+
+    The opponent's brake profile on the *global* raceline is summarized by
+    the caller into ``opp_stop_dist`` (opponent stopping distance from its
+    current position) and ``opp_vel_at(s)``-style scalar ``opp_vel_at``
+    (raceline velocity at the point where the local trajectory ends relative
+    to the opponent run-out) because those depend on lattice-global data; see
+    ``planner/velplan.py`` for their computation.
+
+    :returns: (vx (P,), too_close flag, vel_bound_ok flag)
+    """
+    P = kappa.shape[0]
+    control_d = control_params["c_p"] * safety_d + veh_length
+    safety_total = safety_d + veh_length
+    too_close = (obj_dist - safety_total) < 0.0
+
+    # ego braking profile + stopping distance on the local path
+    v_ego_brake = calc_vel_profile_brake(kappa, el_lengths, loc_gg, v_start,
+                                         dyn_model_exp, drag_coeff, m_veh)
+    ego_stop_d = stop_distance(v_ego_brake, el_lengths)
+
+    s = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el_lengths[:-1])])
+    s_stop = obj_dist - safety_total + opp_stop_dist
+
+    # first index with s >= s_stop (reference loop :206-209)
+    stop_idx = jnp.clip(jnp.searchsorted(s, s_stop, side='left'), 0, P - 1)
+
+    v_end = jnp.where(s_stop > s[-1], opp_vel_at, 0.0)
+
+    # control velocity
+    v_control = follow_control_vel(control_params, obj_dist, control_d,
+                                   v_obj, v_ego, control_type)
+    v_control = jnp.clip(v_control, 0.0, v_max)
+
+    # -- segment 1: decelerate to control velocity if faster ----------------
+    seg1_active = (v_start > v_control) & (stop_idx >= 2)
+    idx_c_raw = jnp.argmax(v_ego_brake <= v_control)
+    idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= v_control, idx_c_raw, stop_idx)
+    idx_c = jnp.where(seg1_active, jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
+                                                         idx_c_raw), stop_idx), 0)
+    vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c], v_start)
+
+    # -- segment 2: standard profile capped at v_control up to stop_idx ----
+    # run the fb solver on the full array but with v_max := v_control and the
+    # end condition v_end applied at stop_idx; entries after stop_idx are
+    # overwritten by zeros below.
+    idxs = jnp.arange(P)
+    el_seg2 = jnp.where(idxs < stop_idx, el_lengths, 0.0)
+    # shift start: indices < idx_c belong to segment 1; make them no-ops by
+    # zeroing their element lengths and pinning velocities afterwards.
+    el_seg2 = jnp.where(idxs < idx_c, 0.0, el_seg2)
+    v_seg2 = calc_vel_profile_fb(kappa, el_seg2, loc_gg, ax_max_machines,
+                                 v_control,
+                                 jnp.minimum(vx_control_start, v_control),
+                                 v_end=v_end, dyn_model_exp=dyn_model_exp,
+                                 drag_coeff=drag_coeff, m_veh=m_veh,
+                                 end_idx=stop_idx + 1)
+    # note: v_seg2[0] equals min(vx_control_start, v_control) which mirrors
+    # the reference's v_start hand-off into tph.calc_vel_profile
+
+    vel_bound_ok = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
+    vel_bound_ok &= ~((~seg1_active) & (stop_idx < 2))
+
+    # assemble: seg1 brake values before idx_c, seg2 between, zeros after stop
+    vx_profile = jnp.where(idxs < idx_c, v_ego_brake, v_seg2)
+    vx_profile = jnp.where(idxs > stop_idx, 0.0, vx_profile)
+    vel_bound_ok &= jnp.abs(vx_profile[0] - v_start) <= 1.0
+
+    # if we cannot stop in the available distance anyway -> plain ego brake
+    cannot_hold = ego_stop_d >= s_stop
+    vx_profile = jnp.where(cannot_hold, v_ego_brake, vx_profile)
+    vel_bound_ok = jnp.where(cannot_hold, True, vel_bound_ok)
+
+    # intersect with the unconstrained profile (reference :296-310)
+    vx_compl = calc_vel_profile_fb(kappa, el_lengths, loc_gg, ax_max_machines,
+                                   v_max, v_start, v_end=None,
+                                   dyn_model_exp=dyn_model_exp,
+                                   drag_coeff=drag_coeff, m_veh=m_veh)
+    vx_final = jnp.minimum(vx_profile, vx_compl)
+    return vx_final, too_close, vel_bound_ok
