@@ -1,0 +1,268 @@
+"""Per-tick path generation kernels (jitted) — the TPU-native core of
+``main_online_path_gen`` + ``gen_local_node_template`` (reference
+graph_ltpl/online_graph/src/).
+
+One fused kernel computes, for all four action slots simultaneously
+(straight / follow / left / right):
+
+  * the masked cost window ``(4, H, N, N)`` — zones block nodes for every
+    slot; object-intersecting edges are blocked for straight/left/right but
+    *not* for follow (the reference's "planning_range" vs "default" filters,
+    gen_local_node_template.py:215-220, main_online_path_gen.py:128-174);
+    left/right additionally split the obstacle layer at the closest node
+    (main_online_path_gen.py:144-170)
+  * previous-solution cost discounting ``w_last_edges``
+    (gen_local_node_template.py:154-162)
+  * the min-plus DP frontiers + backpointers for every slot.
+
+Horizon-shrink coupling between slots (shared ``mod_action_set_goal_layer``,
+main_online_path_gen.py:187-220) is resolved by the caller from the returned
+feasibility vectors; backtrace + C2-refit assembly run as separate jitted
+kernels per selected action.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from graphbasedlocaltrajectoryplanner_tpu.models.lattice import Lattice
+from graphbasedlocaltrajectoryplanner_tpu.ops import splines as spl
+from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
+from graphbasedlocaltrajectoryplanner_tpu.ops import search as srch
+from graphbasedlocaltrajectoryplanner_tpu.ops.search import INF
+from graphbasedlocaltrajectoryplanner_tpu.ops.heading import heading_to_dir
+
+# action slot order (fixed); mapping to the reference's primitive names
+SLOT_STRAIGHT, SLOT_FOLLOW, SLOT_LEFT, SLOT_RIGHT = 0, 1, 2, 3
+N_SLOTS = 4
+
+
+@partial(jax.jit, static_argnames=("n_last",))
+def plan_window_kernel(lat: Lattice,
+                       start_layer,
+                       start_node,
+                       zone_block,         # (L, N) bool
+                       obj_pos,            # (O, 2) vehicles + prediction pts
+                       obj_radius,         # (O,)
+                       obj_active,         # (O,) bool
+                       obs_layer,          # scalar int32 — closest object layer
+                       obs_node,           # scalar int32 — closest node to it
+                       obs_found,          # scalar bool
+                       last_nodes,         # (n_last,) int32 window-node chain
+                       w_last_factors,     # (n_last - 1,) cost factors
+                       n_last: int):
+    """Build masked windows and run the DP for all four action slots.
+
+    :returns: dict with
+        ``best (4, H+1, N)``, ``bp (4, H+1, N)``, ``vg (4, H+1, N)``,
+        ``win_layers (H+1,)``, ``blocked_any (H, N, N)`` (object mask),
+        ``obj_layer (O,)`` per-object closest layers.
+    """
+    L, N, H = lat.L, lat.N, lat.H_max
+    h_goal = lat.h_goal_for_start[start_layer]
+
+    win_layers = jnp.mod(start_layer + jnp.arange(H + 1), L)
+    w_win = lat.w[win_layers[:H]]                       # (H, N, N)
+    if not lat.closed:
+        # no wrap on unclosed tracks: steps past the last layer are invalid
+        invalid_step = (start_layer + jnp.arange(H)) >= (L - 1)
+        w_win = jnp.where(invalid_step[:, None, None], INF, w_win)
+
+    # --- zone node blocking (all slots; "overtaking_zones" base filter) ---
+    zb_win = zone_block[win_layers]                     # (H+1, N)
+    w_base = jnp.where(zb_win[:H, :, None], INF, w_win)
+    w_base = jnp.where(zb_win[1:, None, :], INF, w_base)
+
+    # --- previous-solution discount (applies to the shared base, i.e. all
+    # slots, since "default" is built from "planning_range" after the
+    # discount) ---
+    for i in range(n_last - 1):
+        a = last_nodes[i]
+        b = last_nodes[i + 1]
+        ok = (a >= 0) & (b >= 0)
+        cur = w_base[i, a, b]
+        w_base = w_base.at[i, a, b].set(
+            jnp.where(ok & (cur < srch.FEAS_THRESH), cur * w_last_factors[i], cur))
+
+    # --- object edge blocking (slots straight/left/right only) ---
+    obj_layer = col.object_layers(lat.refline, obj_pos)
+    samples_win = lat.samples_xy[win_layers[:H]]        # (H, N, N, S, 2)
+    blocked = col.edge_block_mask(
+        samples_win, win_layers[:H], obj_pos, obj_radius, obj_layer,
+        obj_active, start_layer, h_goal, L,
+        lat.veh_width, lat.sampled_resolution)
+    w_default = jnp.where(blocked, INF, w_base)
+
+    # --- overtake split masks (left: keep nodes < obs_node; right: keep
+    # nodes >= obs_node at the obstacle layer) ---
+    p_obs = jnp.mod(obs_layer - start_layer, L)         # window position
+    in_win = obs_found & (p_obs <= H)
+    node_ids = jnp.arange(N)
+    at_obs = (jnp.arange(H + 1) == p_obs)[:, None] & in_win  # (H+1, 1)
+    block_left = at_obs & (node_ids[None, :] >= obs_node)    # (H+1, N)
+    block_right = at_obs & (node_ids[None, :] < obs_node)
+
+    def apply_node_block(w, nb):
+        w = jnp.where(nb[:H, :, None], INF, w)
+        return jnp.where(nb[1:, None, :], INF, w)
+
+    w_left = apply_node_block(w_default, block_left)
+    w_right = apply_node_block(w_default, block_right)
+
+    w_all = jnp.stack([w_default, w_base, w_left, w_right])   # (4, H, N, N)
+
+    # --- virtual-goal costs per slot (zone/overtake-blocked nodes cannot be
+    # goals either) ---
+    vg_win = lat.vg_cost[win_layers]                    # (H+1, N)
+    vg_win = jnp.where(zb_win, INF, vg_win)
+    vg_all = jnp.stack([vg_win, vg_win,
+                        jnp.where(block_left, INF, vg_win),
+                        jnp.where(block_right, INF, vg_win)])
+
+    best, bp = jax.vmap(srch.minplus_scan, in_axes=(0, None))(w_all, start_node)
+    return dict(best=best, bp=bp, vg=vg_all, win_layers=win_layers,
+                blocked=blocked, obj_layer=obj_layer, h_goal=h_goal,
+                w_all=w_all)
+
+
+@jax.jit
+def feasibility_vectors(best, vg):
+    """Per-slot feasibility of ending at window layer h (any goal node)."""
+    goal_tot = best + vg                                # (4, H+1, N)
+    return jnp.min(goal_tot, axis=-1) < srch.FEAS_THRESH
+
+
+@jax.jit
+def backtrace_slot(best, bp, vg, h_eff):
+    """Goal argmin + backtrace for one slot at a fixed effective horizon."""
+    goal_tot = best[h_eff] + vg[h_eff]
+    goal_node = jnp.argmin(goal_tot).astype(jnp.int32)
+    nodes = srch.backtrace(bp, h_eff, goal_node)
+    return nodes, goal_tot[goal_node]
+
+
+# ---------------------------------------------------------------------------
+# path assembly: fuse edge samples, C2 re-fit through nodes, resample
+# (main_online_path_gen.py:260-322)
+# ---------------------------------------------------------------------------
+
+def _fit_clamped_chain_padded(points, el, psi_s, psi_e, n_seg, H):
+    """Clamped C2 chain fit with a traced segment count ``n_seg <= H``.
+
+    Padding convention: equations for interior nodes at or beyond the true
+    end are replaced by identities pinning the tangent to the end heading,
+    which realizes the clamped boundary at the *true* end while keeping the
+    tridiagonal system at static size.
+    """
+    seg_len = jnp.maximum(el, 1e-9)
+    m0 = heading_to_dir(psi_s)
+    mn = heading_to_dir(psi_e)
+
+    # equations j = 0 .. H-2 for unknowns u_j = m_{j+1}
+    lam = seg_len[:-1] / seg_len[1:]                    # (H-1,)
+    dp_over_l = (points[1:] - points[:-1]) / seg_len[:, None]
+    rhs = 3.0 * (dp_over_l[:-1] + lam[:, None] * dp_over_l[1:])
+    rhs = rhs.at[0].add(-m0)
+    lower = jnp.concatenate([jnp.zeros((1,)), jnp.ones((lam.shape[0] - 1,))])
+    diag = 2.0 * (1.0 + lam)
+    upper = lam
+    # pin u_j = mn for j >= n_seg - 1 (the clamped end tangent + padding)
+    j = jnp.arange(lam.shape[0])
+    pin = j >= (n_seg - 1)
+    lower = jnp.where(pin, 0.0, lower)
+    diag = jnp.where(pin, 1.0, diag)
+    upper = jnp.where(pin, 0.0, upper)
+    rhs = jnp.where(pin[:, None], mn[None, :], rhs)
+    # the last real equation must not couple forward into a pinned row with
+    # its original lam (it still does — Thomas handles it since the pinned
+    # row below resolves u_{n_seg-1} = mn exactly)
+    u = spl._thomas(lower, diag, upper, rhs)            # (H-1, 2)
+    m = jnp.concatenate([m0[None], u, mn[None]], axis=0)
+    m = jnp.where((jnp.arange(H + 1) >= n_seg)[:, None], mn[None, :], m)
+    m = m.at[0].set(m0)
+    return spl._coeffs_from_tangents(points, m, seg_len)
+
+
+@partial(jax.jit, static_argnames=("p_max",))
+def assemble_action_kernel(lat: Lattice,
+                           win_layers,       # (H+1,)
+                           nodes,            # (H+1,) window node chain (-1 pad)
+                           h_eff,            # scalar int32 >= 1
+                           psi_s,            # start heading for the re-fit
+                           p_max: int):
+    """Fuse the chosen node chain into one C2 path (jitted, fixed size).
+
+    Mirrors main_online_path_gen.py:260-322: per-edge sample counts determine
+    the fused index layout (shared endpoints deduplicated), element lengths
+    come from the *pre-refit* stored edge samples, then one curvature-
+    continuous spline through the node positions (clamped headings, chord
+    lengths = stored edge lengths) is re-sampled with the same per-segment
+    counts and supplies the final x, y, psi, kappa.
+
+    :returns: dict(path (p_max, 5) [x y psi kappa el], n_valid scalar,
+                   node_idx (H+1,), coeffs (H, 8), length scalar)
+    """
+    H = lat.H_max
+    nsafe = jnp.clip(nodes, 0, lat.N - 1)
+    l_h = win_layers[:H]
+    n_h = nsafe[:H]
+    m_h = nsafe[1:]
+    seg_active = jnp.arange(H) < h_eff
+
+    npts_e = lat.edge_npts[l_h, n_h, m_h]               # (H,)
+    npts_e = jnp.where(seg_active, npts_e, 1)           # inactive: contribute 0
+    len_e = jnp.where(seg_active, lat.edge_len[l_h, n_h, m_h], 1.0)
+
+    node_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(npts_e - 1).astype(jnp.int32)])
+    n_valid = node_idx[h_eff] + 1
+
+    # chain node positions (pad with last real node repeated)
+    chain_pos = lat.node_pos[win_layers, nsafe]         # (H+1, 2)
+    end_pos = chain_pos[h_eff]
+    chain_pos = jnp.where((jnp.arange(H + 1) > h_eff)[:, None], end_pos,
+                          chain_pos)
+
+    # end heading: analytic heading at t=1 of the last active edge
+    last = h_eff - 1
+    c_last = lat.edge_coeffs(l_h[last], n_h[last], m_h[last])
+    psi_e, _ = spl.head_curv_an(c_last, jnp.float32(1.0))
+
+    coeffs = _fit_clamped_chain_padded(chain_pos, len_e, psi_s, psi_e,
+                                       h_eff, H)        # (H, 4, 2)
+
+    pts, seg_idx, t = spl.sample_chain_stepnum(coeffs, npts_e, p_max)
+    psi, kappa = spl.head_curv_an(coeffs[seg_idx], t)
+
+    # element lengths from the PRE-refit per-edge samples (reference keeps
+    # the stored spline_param el column, see add_edge GraphBase.py:425-436)
+    within = jnp.arange(p_max) - node_idx[seg_idx]
+    ls = l_h[seg_idx]
+    ns = n_h[seg_idx]
+    ms = m_h[seg_idx]
+    i0 = jnp.clip(within, 0, lat.S - 1)
+    i1 = jnp.clip(within + 1, 0, lat.S - 1)
+    p_a = lat.samples_xy[ls, ns, ms, i0]
+    p_b = lat.samples_xy[ls, ns, ms, i1]
+    el = jnp.linalg.norm(p_b - p_a, axis=-1)
+    el = jnp.where(jnp.arange(p_max) >= n_valid - 1, 0.0, el)
+
+    path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
+    # final point: evaluate the refit spline's last *real* segment at t=1
+    # (the generic sampler lands on a degenerate padded segment there)
+    psi_f, kappa_f = spl.head_curv_an(coeffs[last], jnp.float32(1.0))
+    pt_f = spl.eval_spline(coeffs[last], jnp.float32(1.0))
+    is_final = (jnp.arange(p_max) == (n_valid - 1))[:, None]
+    path = jnp.where(is_final, jnp.stack([pt_f[0], pt_f[1], psi_f, kappa_f,
+                                          jnp.float32(0.0)])[None, :], path)
+    # freeze padding rows at the final point values
+    final_row = path[jnp.clip(n_valid - 1, 0, p_max - 1)]
+    pad = (jnp.arange(p_max) >= n_valid)[:, None]
+    path = jnp.where(pad, final_row[None, :], path)
+
+    coeffs_flat = jnp.concatenate([coeffs[..., 0], coeffs[..., 1]], axis=-1)
+    return dict(path=path, n_valid=n_valid, node_idx=node_idx,
+                coeffs=coeffs_flat, length=jnp.sum(jnp.where(seg_active, len_e, 0.0)))
