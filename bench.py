@@ -1,0 +1,76 @@
+"""Benchmark: full action-set replans/sec/chip on the Monteblanco track.
+
+One replan = everything the reference does per 100 ms tick (path search for
+every action primitive + velocity profiles) — here as the fused batched
+scenario engine.  The baseline is the reference's real-time budget of
+10 replans/sec (params/ltpl_config_online.ini:87 calc_time_warn_threshold =
+0.1 s per iteration on the vehicle CPU); BASELINE.json's north star asks for
+>= 1000 replans/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_TRACK = "/root/reference/inputs/traj_ltpl_cl/traj_ltpl_cl_monteblanco.csv"
+BASELINE_REPLANS_PER_SEC = 10.0       # reference 100 ms budget
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts", "monteblanco_lattice.npz")
+
+
+def _lattice():
+    from graphbasedlocaltrajectoryplanner_tpu.models.lattice import (
+        load_lattice, build_lattice, save_lattice)
+    from graphbasedlocaltrajectoryplanner_tpu.models.track import (
+        import_globtraj_csv, make_oval_track)
+    from graphbasedlocaltrajectoryplanner_tpu.utils.config import OfflineConfig
+
+    lat = load_lattice(CACHE)
+    if lat is not None:
+        return lat
+    if os.path.isfile(REFERENCE_TRACK):
+        gt = import_globtraj_csv(REFERENCE_TRACK)
+    else:
+        gt = make_oval_track()
+    lat = build_lattice(gt, OfflineConfig(), md5_params="bench")
+    save_lattice(lat, CACHE)
+    return lat
+
+
+def main():
+    import jax
+    from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    lat = _lattice()
+    scen = sc.random_scenarios(lat, batch=batch, seed=0, n_objects=1)
+    tick = sc.make_batched_tick(lat)
+
+    # warm up (compile + tunnel)
+    out = tick(scen)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tick(scen)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    replans_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "full_action_set_replans_per_sec_per_chip",
+        "value": round(replans_per_sec, 1),
+        "unit": "replans/s",
+        "vs_baseline": round(replans_per_sec / BASELINE_REPLANS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,8 @@ def minplus_scan(w_window: jnp.ndarray, start_node):
         best_next = jnp.minimum(best_next, INF)
         return best_next, (best_next, bp_next)
 
-    _, (best_tail, bp_tail) = jax.lax.scan(step, best0, w_window)
+    _, (best_tail, bp_tail) = jax.lax.scan(step, best0, w_window,
+                                           unroll=4)
     best = jnp.concatenate([best0[None], best_tail], axis=0)
     bp = jnp.concatenate([jnp.full((1, N), -1, jnp.int32), bp_tail], axis=0)
     return best, bp

@@ -304,12 +304,16 @@ def sample_chain_stepnum(coeffs, stepnum, total_pts: int):
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
     n_total = starts[-1] + 1
     idx = jnp.arange(total_pts)
-    seg_idx = jnp.clip(jnp.searchsorted(starts, idx, side='right') - 1, 0, n_seg - 1)
+    # comparison-sum instead of searchsorted (which lowers to a slow
+    # sequential loop on TPU): seg_idx = #starts[1:] <= idx
+    seg_idx = jnp.sum((starts[1:][None, :] <= idx[:, None]).astype(jnp.int32),
+                      axis=1)
+    seg_idx = jnp.clip(seg_idx, 0, n_seg - 1)
     within = idx - starts[seg_idx]
     t = within / jnp.maximum(stepnum[seg_idx] - 1, 1)
     # past the true end: clamp to final point of last segment
-    last_seg = jnp.clip(jnp.searchsorted(starts, n_total - 1, side='right') - 1,
-                        0, n_seg - 1)
+    last_seg = jnp.clip(
+        jnp.sum((starts[1:] <= (n_total - 1)).astype(jnp.int32)), 0, n_seg - 1)
     t = jnp.where(idx >= n_total - 1, 1.0, t)
     seg_idx = jnp.where(idx >= n_total - 1, last_seg, seg_idx)
     pts = eval_spline(coeffs[seg_idx], t)

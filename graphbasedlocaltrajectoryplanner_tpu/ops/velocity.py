@@ -114,7 +114,8 @@ def calc_vel_profile_fb(kappa: jnp.ndarray,
 
     _, v_fwd_tail = jax.lax.scan(
         fwd, v0[0],
-        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1], v0[1:]))
+        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1], v0[1:]),
+        unroll=8)
     v_f = jnp.concatenate([v0[:1], v_fwd_tail])
 
     # ---- backward pass (2-step conservative refinement like the reference
@@ -134,7 +135,7 @@ def calc_vel_profile_fb(kappa: jnp.ndarray,
         (kappa_abs[1:], ax_max[1:], ay_max[1:],
          kappa_abs[:-1], ax_max[:-1], ay_max[:-1],
          el_lengths[:-1], v_f[:-1]),
-        reverse=True)
+        reverse=True, unroll=8)
     v = jnp.concatenate([v_bwd_head, v_f[-1:]])
     return v
 
@@ -166,7 +167,8 @@ def calc_vel_profile_brake(kappa: jnp.ndarray,
 
     _, v_tail = jax.lax.scan(
         step, jnp.asarray(v_start, kappa.dtype),
-        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1]))
+        (kappa_abs[:-1], ax_max[:-1], ay_max[:-1], el_lengths[:-1]),
+        unroll=8)
     return jnp.concatenate([jnp.asarray(v_start, kappa.dtype)[None], v_tail])
 
 
@@ -269,8 +271,9 @@ def calc_vel_profile_follow(kappa: jnp.ndarray,
     s = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el_lengths[:-1])])
     s_stop = obj_dist - safety_total + opp_stop_dist
 
-    # first index with s >= s_stop (reference loop :206-209)
-    stop_idx = jnp.clip(jnp.searchsorted(s, s_stop, side='left'), 0, P - 1)
+    # first index with s >= s_stop (reference loop :206-209); comparison-sum
+    # instead of searchsorted (slow sequential lowering on TPU)
+    stop_idx = jnp.clip(jnp.sum((s < s_stop).astype(jnp.int32)), 0, P - 1)
 
     v_end = jnp.where(s_stop > s[-1], opp_vel_at, 0.0)
 

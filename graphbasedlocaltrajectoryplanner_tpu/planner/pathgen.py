@@ -54,12 +54,125 @@ def plan_window_kernel(lat: Lattice,
                        last_nodes,         # (n_last,) int32 window-node chain
                        w_last_factors,     # (n_last - 1,) cost factors
                        n_last: int):
-    """Build masked windows and run the DP for all four action slots.
+    """Masked 4-slot DP with per-step fused mask construction.
 
-    :returns: dict with
-        ``best (4, H+1, N)``, ``bp (4, H+1, N)``, ``vg (4, H+1, N)``,
-        ``win_layers (H+1,)``, ``blocked_any (H, N, N)`` (object mask),
-        ``obj_layer (O,)`` per-object closest layers.
+    Memory-lean formulation: the DP runs as one ``lax.scan`` over window
+    steps; each step gathers only that layer's (N, N) cost slab and
+    (N, N, S, 2) edge samples, applies zone / object / overtake / discount
+    masks in registers and performs the min-plus relaxation for all four
+    action slots — nothing of size (H, N, N) is ever materialized, which is
+    what lets thousands of scenarios batch on one chip (see bench.py).
+
+    :returns: dict with ``best (4, H+1, N)``, ``bp (4, H+1, N)``,
+        ``vg (4, H+1, N)``, ``win_layers (H+1,)``, ``h_goal``.
+    """
+    L, N, H = lat.L, lat.N, lat.H_max
+    h_goal = lat.h_goal_for_start[start_layer]
+    win_layers = jnp.mod(start_layer + jnp.arange(H + 1), L)
+    node_ids = jnp.arange(N)
+
+    # per-object precomputation
+    obj_layer = col.object_layers(lat.refline, obj_pos)
+    fwd = col.layer_dist_mod(start_layer, obj_layer, L)
+    in_range = (fwd <= h_goal + 1) | (fwd >= L - 1)
+    obj_app = obj_active & in_range
+    ref2 = (obj_radius + lat.veh_width / 2.0) ** 2 \
+        + lat.sampled_resolution ** 2 / 4.0
+
+    # per-object slab hit masks, computed ONCE: an object only affects edges
+    # starting in layers {obj_layer-1, obj_layer} (GraphBase.py:614-621), so
+    # two (N, N, S) distance tests per object suffice — the DP steps below
+    # merely select from these small masks instead of re-testing per layer
+    slab_layers = jnp.stack([jnp.mod(obj_layer - 1, L), obj_layer], axis=1)
+    slab_samples = lat.samples_xy[slab_layers]          # (O, 2, N, N, S, 2)
+    d2_slab = jnp.sum(
+        (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
+    hit_slab = (jnp.min(d2_slab, axis=-1)
+                <= ref2[:, None, None, None]) \
+        & obj_app[:, None, None, None]                  # (O, 2, N, N)
+
+    # overtake split position in the window
+    p_obs = jnp.mod(obs_layer - start_layer, L)
+    in_win = obs_found & (p_obs <= H)
+    blk_left = node_ids >= obs_node            # (N,) blocked for 'left'
+    blk_right = node_ids < obs_node
+
+    best0 = jnp.full((N_SLOTS, N), INF).at[:, start_node].set(0.0)
+
+    def step(best, h):
+        layer = win_layers[h]
+        nxt = jnp.mod(layer + 1, L)
+        w = lat.w[layer]                        # (N, N)
+        if not lat.closed:
+            w = jnp.where(start_layer + h >= L - 1, INF, w)
+        # zones block nodes in every slot
+        w = jnp.where(zone_block[layer][:, None] | zone_block[nxt][None, :],
+                      INF, w)
+        # previous-solution discount (shared base)
+        a = last_nodes[jnp.clip(h, 0, n_last - 1)]
+        b = last_nodes[jnp.clip(h + 1, 0, n_last - 1)]
+        fac = w_last_factors[jnp.clip(h, 0, n_last - 2)]
+        a_c = jnp.clip(a, 0, N - 1)
+        b_c = jnp.clip(b, 0, N - 1)
+        apply = (h < n_last - 1) & (a >= 0) & (b >= 0)
+        cur = w[a_c, b_c]
+        w = w.at[a_c, b_c].set(
+            jnp.where(apply & (cur < srch.FEAS_THRESH), cur * fac, cur))
+        # object blocking for this step: select the precomputed slab masks
+        is_m1 = (slab_layers[:, 0] == layer)[:, None, None]
+        is_0 = (slab_layers[:, 1] == layer)[:, None, None]
+        blocked = jnp.any((is_m1 & hit_slab[:, 0]) | (is_0 & hit_slab[:, 1]),
+                          axis=0)
+        w_def = jnp.where(blocked, INF, w)
+        # overtake splits: block nodes entering (step p_obs-1) or leaving
+        # (step p_obs) the obstacle layer
+        into = in_win & (h == p_obs - 1)
+        outof = in_win & (h == p_obs)
+        w_left = jnp.where((into & blk_left[None, :])
+                           | (outof & blk_left[:, None]), INF, w_def)
+        w_right = jnp.where((into & blk_right[None, :])
+                            | (outof & blk_right[:, None]), INF, w_def)
+        w4 = jnp.stack([w_def, w, w_left, w_right])      # (4, N, N)
+        tot = best[:, :, None] + w4
+        best_next = jnp.minimum(jnp.min(tot, axis=1), INF)
+        bp_next = jnp.argmin(tot, axis=1).astype(jnp.int32)
+        return best_next, (best_next, bp_next)
+
+    _, (best_t, bp_t) = jax.lax.scan(step, best0, jnp.arange(H))
+    best = jnp.concatenate([best0[None], best_t], axis=0)      # (H+1, 4, N)
+    best = jnp.moveaxis(best, 1, 0)                            # (4, H+1, N)
+    bp = jnp.concatenate([jnp.full((1, N_SLOTS, N), -1, jnp.int32), bp_t],
+                         axis=0)
+    bp = jnp.moveaxis(bp, 1, 0)
+
+    # virtual-goal costs per slot
+    zb_win = zone_block[win_layers]
+    vg_win = jnp.where(zb_win, INF, lat.vg_cost[win_layers])   # (H+1, N)
+    at_obs = in_win & (jnp.arange(H + 1) == p_obs)[:, None]
+    vg_all = jnp.stack([vg_win, vg_win,
+                        jnp.where(at_obs & blk_left[None, :], INF, vg_win),
+                        jnp.where(at_obs & blk_right[None, :], INF, vg_win)])
+    return dict(best=best, bp=bp, vg=vg_all, win_layers=win_layers,
+                h_goal=h_goal)
+
+
+@partial(jax.jit, static_argnames=("n_last",))
+def plan_window_dense(lat: Lattice,
+                      start_layer,
+                      start_node,
+                      zone_block,         # (L, N) bool
+                      obj_pos,            # (O, 2) vehicles + prediction pts
+                      obj_radius,         # (O,)
+                      obj_active,         # (O,) bool
+                      obs_layer,          # scalar int32 — closest object layer
+                      obs_node,           # scalar int32 — closest node to it
+                      obs_found,          # scalar bool
+                      last_nodes,         # (n_last,) int32 window-node chain
+                      w_last_factors,     # (n_last - 1,) cost factors
+                      n_last: int):
+    """Dense (materialized-window) variant of :func:`plan_window_kernel` —
+    reference implementation for tests; additionally returns the masked
+    ``w_all (4, H, N, N)`` and object ``blocked (H, N, N)`` tensors.
     """
     L, N, H = lat.L, lat.N, lat.H_max
     h_goal = lat.h_goal_for_start[start_layer]
@@ -238,16 +351,15 @@ def assemble_action_kernel(lat: Lattice,
     psi, kappa = spl.head_curv_an(coeffs[seg_idx], t)
 
     # element lengths from the PRE-refit per-edge samples (reference keeps
-    # the stored spline_param el column, see add_edge GraphBase.py:425-436)
+    # the stored spline_param el column, see add_edge GraphBase.py:425-436).
+    # gather the (H, S, 2) chain samples once, then index the small local
+    # per-segment el table per point (cheap) instead of hitting the full
+    # (L, N, N, S, 2) tensor with per-point random gathers
+    chain_samples = lat.samples_xy[l_h, n_h, m_h]       # (H, S, 2)
+    seg_el = jnp.linalg.norm(jnp.diff(chain_samples, axis=1), axis=-1)
+    seg_el = jnp.concatenate([seg_el, jnp.zeros((H, 1))], axis=1)  # (H, S)
     within = jnp.arange(p_max) - node_idx[seg_idx]
-    ls = l_h[seg_idx]
-    ns = n_h[seg_idx]
-    ms = m_h[seg_idx]
-    i0 = jnp.clip(within, 0, lat.S - 1)
-    i1 = jnp.clip(within + 1, 0, lat.S - 1)
-    p_a = lat.samples_xy[ls, ns, ms, i0]
-    p_b = lat.samples_xy[ls, ns, ms, i1]
-    el = jnp.linalg.norm(p_b - p_a, axis=-1)
+    el = seg_el[seg_idx, jnp.clip(within, 0, lat.S - 1)]
     el = jnp.where(jnp.arange(p_max) >= n_valid - 1, 0.0, el)
 
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)

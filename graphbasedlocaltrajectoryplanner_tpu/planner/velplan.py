@@ -69,8 +69,9 @@ def opponent_summary(glob_rl, glob_el, obj_pos, v_obj,
 
 def _runout_velocity(roll_vel, roll_cum, target_dist):
     """Raceline velocity after the opponent travelled ``target_dist``
-    (calc_vel_profile_follow.py:213-221 walk)."""
-    idx = jnp.searchsorted(roll_cum, target_dist, side="left") + 1
+    (calc_vel_profile_follow.py:213-221 walk).  Comparison-sum instead of
+    searchsorted (slow sequential lowering on TPU)."""
+    idx = jnp.sum((roll_cum < target_dist).astype(jnp.int32)) + 1
     idx = jnp.clip(idx, 0, roll_vel.shape[0] - 1)
     return jnp.where(target_dist <= 0.0, roll_vel[0], roll_vel[idx])
 

@@ -24,7 +24,7 @@ def _no_objects():
 
 
 def _plan(lat, start_layer, start_node, obj=None, zone=None,
-          obs=(0, 0, False), last=None):
+          obs=(0, 0, False), last=None, dense=False):
     opos, orad, oact = obj if obj is not None else _no_objects()
     zb = zone if zone is not None else jnp.zeros((lat.L, lat.N), bool)
     if last is None:
@@ -32,10 +32,38 @@ def _plan(lat, start_layer, start_node, obj=None, zone=None,
         w_fac = jnp.ones((3,))
     else:
         last_nodes, w_fac = last
-    return pg.plan_window_kernel(
+    fn = pg.plan_window_dense if dense else pg.plan_window_kernel
+    return fn(
         lat, jnp.int32(start_layer), jnp.int32(start_node), zb,
         opos, orad, oact, jnp.int32(obs[0]), jnp.int32(obs[1]),
         jnp.bool_(obs[2]), last_nodes, w_fac, n_last=4)
+
+
+def test_scan_matches_dense(lat):
+    rl = np.asarray(lat.rl_idx)
+    raceline = np.asarray(lat.raceline)
+    obs_l = 6
+    opos = np.zeros((O_PAD, 2), np.float32)
+    opos[0] = raceline[obs_l]
+    opos[1] = raceline[obs_l] + 1.0
+    orad = np.full(O_PAD, 2.5, np.float32)
+    oact = np.zeros(O_PAD, bool)
+    oact[:2] = True
+    zone = np.zeros((lat.L, lat.N), bool)
+    zone[12, :4] = True
+    last_nodes = jnp.array([rl[0], rl[1], rl[2] + 1, -1], jnp.int32)
+    w_fac = jnp.array([0.1, 0.5, 0.8])
+    kw = dict(obj=(jnp.array(opos), jnp.array(orad), jnp.array(oact)),
+              zone=jnp.array(zone), obs=(obs_l, int(rl[obs_l]), True),
+              last=(last_nodes, w_fac))
+    a = _plan(lat, 0, int(rl[0]), **kw)
+    b = _plan(lat, 0, int(rl[0]), dense=True, **kw)
+    np.testing.assert_allclose(np.asarray(a["best"]), np.asarray(b["best"]),
+                               rtol=1e-5)
+    fa = np.asarray(pg.feasibility_vectors(a["best"], a["vg"]))
+    fb = np.asarray(pg.feasibility_vectors(b["best"], b["vg"]))
+    np.testing.assert_array_equal(fa, fb)
+    np.testing.assert_allclose(np.asarray(a["vg"]), np.asarray(b["vg"]))
 
 
 def test_straight_follows_raceline_when_free(lat):
@@ -150,7 +178,7 @@ def test_zone_blocks_all_slots(lat):
 def test_w_last_edges_discount_prefers_previous_path(lat):
     rl = np.asarray(lat.rl_idx)
     start_node = int(rl[0]) + 2   # off-raceline start
-    out0 = _plan(lat, 0, start_node)
+    out0 = _plan(lat, 0, start_node, dense=True)
     h_goal = int(out0["h_goal"])
     nodes0, cost0 = pg.backtrace_slot(out0["best"][0], out0["bp"][0],
                                       out0["vg"][0], jnp.int32(h_goal))
@@ -159,7 +187,7 @@ def test_w_last_edges_discount_prefers_previous_path(lat):
     last_nodes = jnp.array([start_node, start_node + 1, start_node + 1,
                             start_node + 1], jnp.int32)
     w_fac = jnp.array([0.0, 0.0, 0.0])
-    out1 = _plan(lat, 0, start_node, last=(last_nodes, w_fac))
+    out1 = _plan(lat, 0, start_node, last=(last_nodes, w_fac), dense=True)
     nodes1, cost1 = pg.backtrace_slot(out1["best"][0], out1["bp"][0],
                                       out1["vg"][0], jnp.int32(h_goal))
     # zero-cost discount applied to exactly the previous-path edges
