@@ -1,0 +1,112 @@
+"""Log replay + validation — the institutionalized version of the
+reference's ``visualize_graph_log.py`` RECALC_VALIDATION
+(visualize_graph_log.py:60, 209-234): re-execute the online search from
+logged inputs and diff the resulting node chains against the logged ones.
+
+Used as a regression harness: a lap driven by the planner is logged to
+``*_data.csv``; ``replay_validate`` re-runs the path search for every tick
+against the archived lattice and reports
+  * edge consistency — every logged consecutive node pair is a valid edge,
+  * optimality — the recomputed DP optimum matches the logged chain
+    (modulo the constant warm-start prefix, which depends on timing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from graphbasedlocaltrajectoryplanner_tpu.models.lattice import Lattice
+from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
+from graphbasedlocaltrajectoryplanner_tpu.planner import objects as objmod
+from graphbasedlocaltrajectoryplanner_tpu.utils.logging import read_data_log
+
+
+@dataclasses.dataclass
+class ReplayReport:
+    ticks: int = 0
+    actions_checked: int = 0
+    edge_violations: int = 0
+    node_mismatches: int = 0
+    details: list = dataclasses.field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.edge_violations == 0
+
+
+def replay_validate(data_csv: str, lat: Lattice,
+                    check_optimality: bool = True) -> ReplayReport:
+    rows = read_data_log(data_csv)
+    ev = np.asarray(lat.edge_valid)
+    L = lat.L
+    rep = ReplayReport()
+
+    for row in rows:
+        rep.ticks += 1
+        nodes_list = row.get("nodes_list") or {}
+        start_node = row.get("start_node")
+        obj_veh_raw = row.get("obj_veh") or []
+
+        for action, chains in nodes_list.items():
+            for chain in chains:
+                # drop virtual/None prefix entries (initial pose spline)
+                chain = [c for c in chain if c[0] is not None]
+                if len(chain) < 2:
+                    continue
+                rep.actions_checked += 1
+                # 1) edge consistency in the archived lattice
+                bad = 0
+                for a, b in zip(chain[:-1], chain[1:]):
+                    la, na = int(a[0]), int(a[1])
+                    lb, nb = int(b[0]), int(b[1])
+                    if (la + 1) % L != lb or not ev[la, na, nb]:
+                        bad += 1
+                if bad:
+                    rep.edge_violations += bad
+                    rep.details.append(
+                        dict(tick=rep.ticks, action=action,
+                             kind="invalid_edge", count=bad))
+
+        # 2) optimality re-check for the straight action on object-free ticks
+        if (check_optimality and start_node is not None
+                and not obj_veh_raw and "straight" in nodes_list
+                and nodes_list["straight"]):
+            chain = [c for c in nodes_list["straight"][0]
+                     if c[0] is not None]
+            if len(chain) < 3:
+                continue
+            # the search started at start_node — compare the suffix
+            try:
+                k = chain.index([int(start_node[0]), int(start_node[1])])
+            except ValueError:
+                continue
+            suffix = chain[k:]
+            if len(suffix) < 2:
+                continue
+            out = pg.plan_window_kernel(
+                lat, jnp.int32(start_node[0]), jnp.int32(start_node[1]),
+                jnp.zeros((lat.L, lat.N), bool),
+                jnp.zeros((4, 2), jnp.float32), jnp.zeros((4,), jnp.float32),
+                jnp.zeros((4,), bool), jnp.int32(0), jnp.int32(0), False,
+                jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32),
+                n_last=2)
+            h_eff = len(suffix) - 1
+            if h_eff > lat.H_max:
+                continue
+            nodes, _ = pg.backtrace_slot(out["best"][pg.SLOT_STRAIGHT],
+                                         out["bp"][pg.SLOT_STRAIGHT],
+                                         out["vg"][pg.SLOT_STRAIGHT],
+                                         jnp.int32(h_eff))
+            nodes = np.asarray(nodes)[:h_eff + 1]
+            logged = np.array([c[1] for c in suffix])
+            # w_last_edges discounting in the live run can legitimately hold
+            # the path on the previous solution — count but don't fail
+            mism = int(np.sum(nodes != logged))
+            if mism:
+                rep.node_mismatches += mism
+                rep.details.append(dict(tick=rep.ticks, action="straight",
+                                        kind="node_mismatch", count=mism))
+    return rep
