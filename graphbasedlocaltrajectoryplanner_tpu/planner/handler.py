@@ -53,9 +53,7 @@ class OnlineHandler:
 
         if online_cfg.vp_type not in ("fb", "sqp"):
             raise ValueError("No valid velocity planner specified!")
-        if online_cfg.vp_type == "sqp":
-            LOG.warning("SQP velocity planner not available in the TPU build "
-                        "yet — forcing forward-backward planner.")
+        self.vp_backend = online_cfg.vp_type
         if online_cfg.max_solutions > 1:
             LOG.warning("max_solutions > 1 is not supported (single optimum "
                         "per action); continuing with 1.")
@@ -719,7 +717,8 @@ class OnlineHandler:
                     jnp.float32(ctrl.get("tan_w", 1.0)),
                     self.dyn_model_exp, self.drag_coeff, self.m_veh,
                     control_type=cfg.controller_type,
-                    filt_window=cfg.filt_window_width)
+                    filt_window=cfg.filt_window_width,
+                    vp_backend=self.vp_backend)
 
                 vel_bound = bool(out["vel_bound"])
                 if is_follow and bool(out["too_close"]):

@@ -76,7 +76,8 @@ def _runout_velocity(roll_vel, roll_cum, target_dist):
     return jnp.where(target_dist <= 0.0, roll_vel[0], roll_vel[idx])
 
 
-@partial(jax.jit, static_argnames=("control_type", "filt_window"))
+@partial(jax.jit, static_argnames=("control_type", "filt_window",
+                                   "vp_backend"))
 def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     n_valid,         # scalar int32 — valid points
                     gg,              # (P, 2) local gg (unscaled)
@@ -94,9 +95,14 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     ctrl_cp, ctrl_kd, ctrl_kp, ctrl_tanw,
                     dyn_model_exp, drag_coeff, m_veh,
                     control_type: str = "PD",
-                    filt_window: int = 1):
+                    filt_window: int = 1,
+                    vp_backend: str = "fb"):
     """Full per-action velocity profile (OTH:736-941).
 
+    :param vp_backend: "fb" (forward-backward solver) or "sqp" (ADMM QP,
+        ops/qp.py) for the normal-branch profile — the reference's
+        ``vp_type`` seam (ltpl_config_online.ini VP section,
+        OTH:124-156).  Follow mode always uses the fb-based follow law.
     :returns: dict(traj (P, 7) [s x y psi kappa vx ax], vel_bound bool,
                    too_close bool)
     """
@@ -153,10 +159,17 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
     kappa_n = kappa_m
     el_n = jnp.where(idx >= v_idx - 1, 0.0, el_m)
-    vx_normal = velops.calc_vel_profile_fb(
-        kappa_n, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
-        dyn_model_exp=dyn_model_exp, drag_coeff=drag_coeff, m_veh=m_veh,
-        end_idx=v_idx)
+    if vp_backend == "sqp":
+        from graphbasedlocaltrajectoryplanner_tpu.ops.qp import qp_vel_profile
+        vx_normal, _ = qp_vel_profile(
+            kappa_n, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
+            end_idx=v_idx, drag_coeff=drag_coeff, m_veh=m_veh,
+            pin_idx=pref_idx)
+    else:
+        vx_normal = velops.calc_vel_profile_fb(
+            kappa_n, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
+            dyn_model_exp=dyn_model_exp, drag_coeff=drag_coeff, m_veh=m_veh,
+            end_idx=v_idx)
     # zeros beyond the (possibly reduced) profile end (OTH:900-903)
     vx_normal = jnp.where(idx >= v_idx, 0.0, vx_normal)
     # degenerate range -> all-zero profile (OTH:897-898)

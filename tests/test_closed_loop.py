@@ -161,3 +161,32 @@ def test_emergency_trajectory(oval):
     assert np.all(np.diff(em[:, 5]) <= 1e-5)
     assert em[-1, 5] < 1.0
     assert ids["emergency"] == ids[next(iter(ids))]
+
+
+def test_sqp_velocity_planner_drive(oval):
+    """vp_type='sqp' (ADMM QP backend) drives the loop end to end."""
+    gt, lat = oval
+    from graphbasedlocaltrajectoryplanner_tpu.utils.config import OnlineConfig
+    from graphbasedlocaltrajectoryplanner_tpu.planner.handler import OnlineHandler
+    oth = OnlineHandler(lat, OnlineConfig(vp_type="sqp"))
+    pos, heading = _start_pose(gt)
+    oth.set_initial_pose(pos, heading, 10.0, max_heading_offset=0.8)
+    oth.update_objects([], [])
+    traj_set = None
+    vel = 10.0
+    for tick in range(8):
+        oth.calc_paths("straight", 0)
+        if traj_set is not None:
+            t = traj_set["straight"][0]
+            pos, vel = vdc_dummy(pos, t[:, 0], t[:, 1:3], t[:, 5], 0.1)
+        cp, cl, vp_, vc, ap = oth.get_ref_idx("straight", 0, pos)
+        traj_set = oth.calc_vel_profile(
+            cut_index_pos=cp, cut_layer=cl, vel_plan=vp_, acc_plan=ap,
+            vel_course=vc, vel_est=vel, vel_max=70.0,
+            ax_max_machines=np.array([[0.0, 5.0], [100.0, 5.0]]),
+            safety_d=30.0, gg_scale=1.0, local_gg=(5.0, 5.0))[0]
+        assert "straight" in traj_set
+    t = traj_set["straight"][0]
+    ay = t[:, 5] ** 2 * np.abs(t[:, 4])
+    assert np.all(ay <= 5.0 * 1.1 + 0.2)
+    assert vel > 10.0  # accelerating on the straight
