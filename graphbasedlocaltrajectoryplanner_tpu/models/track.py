@@ -31,7 +31,12 @@ class GlobalTrajectory:
 
 
 def import_globtraj_csv(path: str) -> GlobalTrajectory:
-    data = np.loadtxt(path, delimiter=";", comments="#")
+    # native fast path (host runtime, native/ltpl_native.cpp); falls back to
+    # numpy when no toolchain is available
+    from graphbasedlocaltrajectoryplanner_tpu import native
+    data = native.load_csv(path, 12)
+    if data is None:
+        data = np.loadtxt(path, delimiter=";", comments="#")
     return GlobalTrajectory(
         refline=data[:-1, 0:2],
         width_right=data[:-1, 2],
