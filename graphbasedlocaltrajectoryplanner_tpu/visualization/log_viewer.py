@@ -1,0 +1,135 @@
+"""Offline log viewer / replay tool — counterpart of the reference's
+``visualization/src/visualize_graph_log.py``: load a ``*_data.csv`` run log
+plus the archived lattice, render any logged timestamp (track, planned
+action-set trajectories, objects, zones, ego position), and optionally
+re-validate the logged node chains against the lattice
+(``utils/replay.replay_validate``).
+
+Usage:
+    python -m graphbasedlocaltrajectoryplanner_tpu.visualization.log_viewer \
+        --data logs/graph_ltpl/<date>/<time>_data.csv \
+        --lattice logs/graph_ltpl/Graph_Objects/<id>.npz \
+        [--tick -1] [--out frame.png] [--validate] [--interactive]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from graphbasedlocaltrajectoryplanner_tpu.models.lattice import load_lattice
+from graphbasedlocaltrajectoryplanner_tpu.utils.logging import read_data_log
+
+
+def render_tick(ax, lat, row, title=None):
+    import matplotlib.pyplot as plt  # noqa: F401
+
+    refline = np.asarray(lat.refline)
+    normvec = np.asarray(lat.normvec)
+    wr = np.asarray(lat.track_width_right)
+    wl = np.asarray(lat.track_width_left)
+    for sign, w in ((1, wr), (-1, wl)):
+        b = refline + sign * normvec * w[:, None]
+        if lat.closed:
+            b = np.vstack([b, b[:1]])
+        ax.plot(b[:, 0], b[:, 1], "k-", lw=1)
+    rl = np.asarray(lat.raceline)
+    rl_cl = np.vstack([rl, rl[:1]]) if lat.closed else rl
+    ax.plot(rl_cl[:, 0], rl_cl[:, 1], "b--", lw=0.7)
+
+    colors = dict(straight="tab:green", follow="tab:orange",
+                  left="tab:purple", right="tab:cyan",
+                  emergency="tab:red")
+    pos_list = row.get("pos_list") or {}
+    for action, trajs in pos_list.items():
+        for t in trajs:
+            t = np.asarray(t)
+            if t.size:
+                ax.plot(t[:, 0], t[:, 1], "-", lw=2,
+                        color=colors.get(action, "gray"), label=action)
+    import matplotlib.patches as mpatches
+    for obj in row.get("obj_veh") or []:
+        c = np.asarray(obj["pos"], float)
+        ax.add_patch(mpatches.Circle(c, obj.get("radius", 2.0),
+                                     color="red", alpha=0.6, zorder=25))
+    clip = row.get("clip_pos")
+    if clip:
+        ax.plot(clip[0], clip[1], "o", color="darkorange", ms=8, zorder=30)
+    sn = row.get("start_node")
+    if sn and sn[0] is not None:
+        p = np.asarray(lat.node_pos)[int(sn[0]), int(sn[1])]
+        ax.plot(p[0], p[1], "c*", ms=12, zorder=30)
+    ax.set_aspect("equal")
+    if title:
+        ax.set_title(title)
+    handles, labels = ax.get_legend_handles_labels()
+    uniq = dict(zip(labels, handles))
+    ax.legend(uniq.values(), uniq.keys(), loc="upper right")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--lattice", required=True)
+    ap.add_argument("--tick", type=int, default=-1,
+                    help="log row to render (default: last)")
+    ap.add_argument("--out", default=None, help="write PNG instead of showing")
+    ap.add_argument("--validate", action="store_true",
+                    help="re-validate logged node chains against the lattice")
+    ap.add_argument("--interactive", action="store_true",
+                    help="matplotlib slider over all ticks")
+    args = ap.parse_args(argv)
+
+    lat = load_lattice(args.lattice)
+    if lat is None:
+        raise SystemExit(f"could not load lattice from {args.lattice}")
+    rows = read_data_log(args.data)
+    if not rows:
+        raise SystemExit("empty data log")
+    print(f"{len(rows)} logged ticks")
+
+    if args.validate:
+        from graphbasedlocaltrajectoryplanner_tpu.utils.replay import (
+            replay_validate)
+        rep = replay_validate(args.data, lat)
+        print(f"replay validation: ticks={rep.ticks} "
+              f"actions={rep.actions_checked} "
+              f"edge_violations={rep.edge_violations} "
+              f"node_mismatches={rep.node_mismatches} ok={rep.ok}")
+        for d in rep.details[:10]:
+            print("  ", d)
+
+    import matplotlib
+    if args.out:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    idx = args.tick if args.tick >= 0 else len(rows) + args.tick
+    render_tick(ax, lat, rows[idx], title=f"tick {idx} / {len(rows) - 1}")
+
+    if args.interactive and not args.out:
+        from matplotlib.widgets import Slider
+        fig.subplots_adjust(bottom=0.12)
+        sax = fig.add_axes([0.15, 0.03, 0.7, 0.03])
+        slider = Slider(sax, "tick", 0, len(rows) - 1, valinit=idx, valstep=1)
+
+        def update(val):
+            ax.clear()
+            render_tick(ax, lat, rows[int(val)],
+                        title=f"tick {int(val)} / {len(rows) - 1}")
+            fig.canvas.draw_idle()
+
+        slider.on_changed(update)
+        plt.show()
+    elif args.out:
+        fig.savefig(args.out, dpi=120)
+        print("wrote", args.out)
+    else:
+        plt.show()
+
+
+if __name__ == "__main__":
+    main()
