@@ -1,0 +1,89 @@
+"""Scaling benchmark: replans/sec vs device count over a mesh.
+
+On real multi-chip hardware this measures ICI scaling efficiency of the
+sharded scenario engine (target >= 85 % at 2+ hosts, BASELINE.json).  On a
+single-chip or CPU environment it still exercises the identical shard_map
+code path (virtual CPU devices via --cpu-devices N), validating the
+measurement machinery.
+
+Writes artifacts/SCALING.json and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--batch-per-device", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    if args.cpu_devices:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.cpu_devices}")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    from graphbasedlocaltrajectoryplanner_tpu.models.track import make_oval_track
+    from graphbasedlocaltrajectoryplanner_tpu.models.lattice import build_lattice
+    from graphbasedlocaltrajectoryplanner_tpu.utils.config import OfflineConfig
+    from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+
+    devs = jax.devices()
+    lat = build_lattice(make_oval_track(n=200, r=50.0, straight=150.0),
+                        OfflineConfig(min_plan_horizon=200.0),
+                        md5_params="scaling")
+
+    results = {}
+    n = 1
+    counts = []
+    while n <= len(devs):
+        counts.append(n)
+        n *= 2
+    if counts[-1] != len(devs):
+        counts.append(len(devs))
+
+    for nd in counts:
+        mesh = jax.sharding.Mesh(np.array(devs[:nd]), axis_names=("dp",))
+        batch = args.batch_per_device * nd
+        scen = sc.random_scenarios(lat, batch=batch, seed=0, n_objects=1)
+        spec = jax.sharding.NamedSharding(mesh,
+                                          jax.sharding.PartitionSpec("dp"))
+        scen = jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), scen)
+        tick = sc.make_sharded_tick(lat, mesh)
+        out = tick(scen)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = tick(scen)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rps = batch * args.iters / dt
+        results[nd] = rps
+        print(f"devices={nd:3d}  batch={batch:5d}  replans/s={rps:10.1f}")
+
+    base = results[counts[0]] / counts[0]
+    eff = {nd: results[nd] / (nd * base) for nd in counts}
+    summary = dict(devices=counts,
+                   replans_per_sec={str(k): v for k, v in results.items()},
+                   scaling_efficiency={str(k): eff[k] for k in counts})
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/SCALING.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps({"metric": "scaling_efficiency_max_devices",
+                      "value": round(eff[counts[-1]], 3),
+                      "unit": "ratio",
+                      "vs_baseline": round(eff[counts[-1]] / 0.85, 2)}))
+
+
+if __name__ == "__main__":
+    main()
