@@ -347,20 +347,42 @@ def assemble_action_kernel(lat: Lattice,
     coeffs = _fit_clamped_chain_padded(chain_pos, len_e, psi_s, psi_e,
                                        h_eff, H)        # (H, 4, 2)
 
-    pts, seg_idx, t = spl.sample_chain_stepnum(coeffs, npts_e, p_max)
-    psi, kappa = spl.head_curv_an(coeffs[seg_idx], t)
-
-    # element lengths from the PRE-refit per-edge samples (reference keeps
-    # the stored spline_param el column, see add_edge GraphBase.py:425-436).
-    # gather the (H, S, 2) chain samples once, then index the small local
-    # per-segment el table per point (cheap) instead of hitting the full
-    # (L, N, N, S, 2) tensor with per-point random gathers
+    # element lengths come from the PRE-refit per-edge samples (reference
+    # keeps the stored spline_param el column, add_edge GraphBase.py:425-436)
     chain_samples = lat.samples_xy[l_h, n_h, m_h]       # (H, S, 2)
     seg_el = jnp.linalg.norm(jnp.diff(chain_samples, axis=1), axis=-1)
     seg_el = jnp.concatenate([seg_el, jnp.zeros((H, 1))], axis=1)  # (H, S)
-    within = jnp.arange(p_max) - node_idx[seg_idx]
-    el = seg_el[seg_idx, jnp.clip(within, 0, lat.S - 1)]
-    el = jnp.where(jnp.arange(p_max) >= n_valid - 1, 0.0, el)
+
+    # --- sample the refit chain with per-segment point counts -------------
+    # masked per-segment accumulation instead of per-point gathers
+    # (coeffs[seg_idx] etc. lower to slow scatter/gathers under vmap; 29
+    # broadcasted polynomial evaluations are pure VPU work)
+    idxp = jnp.arange(p_max)
+    S = lat.S
+    s_ids = jnp.arange(S, dtype=jnp.float32)
+
+    def seg_accum(h, acc):
+        pts_a, psi_a, kap_a, el_a = acc
+        start = node_idx[h]
+        within = (idxp - start).astype(jnp.float32)
+        in_seg = (idxp >= start) & (idxp < node_idx[h + 1])
+        t = jnp.clip(within / jnp.maximum(npts_e[h] - 1, 1), 0.0, 1.0)
+        c = coeffs[h]
+        p = spl.eval_spline(c, t)                       # (P, 2)
+        ps, ka = spl.head_curv_an(c, t)
+        # el via tiny masked sum over the S-entry per-segment table
+        el_h = jnp.sum(jnp.where(within[:, None] == s_ids[None, :],
+                                 seg_el[h][None, :], 0.0), axis=1)
+        pts_a = jnp.where(in_seg[:, None], p, pts_a)
+        psi_a = jnp.where(in_seg, ps, psi_a)
+        kap_a = jnp.where(in_seg, ka, kap_a)
+        el_a = jnp.where(in_seg, el_h, el_a)
+        return pts_a, psi_a, kap_a, el_a
+
+    init = (jnp.zeros((p_max, 2)), jnp.zeros((p_max,)),
+            jnp.zeros((p_max,)), jnp.zeros((p_max,)))
+    pts, psi, kappa, el = jax.lax.fori_loop(0, H, seg_accum, init)
+    el = jnp.where(idxp >= n_valid - 1, 0.0, el)
 
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
     # final point: evaluate the refit spline's last *real* segment at t=1
