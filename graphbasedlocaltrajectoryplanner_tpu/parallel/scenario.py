@@ -32,7 +32,7 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
 from graphbasedlocaltrajectoryplanner_tpu.ops import velocity as velops
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 
-O_PAD = 8
+O_PAD = 4
 
 
 @jax.tree_util.register_dataclass
