@@ -22,6 +22,7 @@ from graphbasedlocaltrajectoryplanner_tpu.models.track import import_globtraj_cs
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import vdc_dummy
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.objectlist_dummy import (
     ObjectlistDummy)
+from graphbasedlocaltrajectoryplanner_tpu.utils.veh_dyn import import_veh_dyn_info
 
 
 def main():
@@ -32,7 +33,13 @@ def main():
     ap.add_argument("--visual", action="store_true")
     ap.add_argument("--zone", action="store_true",
                     help="activate a sample blocked zone (layers 20-22)")
+    ap.add_argument("--veh-dyn",
+                    default=TOP + "/inputs/veh_dyn_info/ax_max_machines.csv",
+                    help="machine acceleration limit table (csv)")
     args = ap.parse_args()
+
+    ax_max_machines = import_veh_dyn_info(
+        ax_max_machines_import_path=args.veh_dyn)[1]
 
     path_dict = {
         "globtraj_input_path": args.track,
@@ -87,6 +94,7 @@ def main():
             vel_est = 0.0
         tic = time.time()
         traj_set = ltpl.calc_vel_profile(pos_est=pos_est, vel_est=vel_est,
+                                         ax_max_machines=ax_max_machines,
                                          incl_emerg_traj=True)[0]
         ltpl.log()
         ltpl.visual()
