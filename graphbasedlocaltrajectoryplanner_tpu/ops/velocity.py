@@ -327,4 +327,4 @@ def calc_vel_profile_follow(kappa: jnp.ndarray,
                                    dyn_model_exp=dyn_model_exp,
                                    drag_coeff=drag_coeff, m_veh=m_veh)
     vx_final = jnp.minimum(vx_profile, vx_compl)
-    return vx_final, too_close, vel_bound_ok
+    return vx_final, too_close, vel_bound_ok, v_control, control_d

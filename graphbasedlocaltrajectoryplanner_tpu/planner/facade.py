@@ -77,6 +77,35 @@ class GraphLTPL:
 
         self._online_cfg = OnlineConfig.from_ini(
             path_dict["ltpl_online_param_path"])
+
+        if log_to_file and self._online_cfg.log_follow_mode:
+            # follow-mode controller channel (reference hook
+            # calc_vel_profile_follow.py:241-245 / config
+            # ltpl_config_online.ini:3-7; the reference expects deployment
+            # code to create this logger — we wire it natively so the
+            # viewer's follow-debug figure always has data)
+            self._path_dict["graph_log_follow_path"] = os.path.join(
+                fld, prefix + "_follow.csv")
+            with open(self._path_dict["graph_log_follow_path"], "w") as fh:
+                fh.write("time;obj_dist;control_dist;v_control;"
+                         "v_target;v_ego\n")
+            flog = logging.getLogger("follow_mode_logger")
+            for h in list(flog.handlers):   # re-point at this run's file
+                flog.removeHandler(h)
+                h.close()
+            fh_f = logging.FileHandler(
+                self._path_dict["graph_log_follow_path"])
+            fh_f.setFormatter(logging.Formatter("%(message)s"))
+            flog.addHandler(fh_f)
+            flog.setLevel(logging.INFO)
+            flog.propagate = False
+        elif "follow_mode_logger" in logging.Logger.manager.loggerDict:
+            # a previous run registered the channel — silence it so rows
+            # don't leak into that run's file
+            flog = logging.getLogger("follow_mode_logger")
+            for h in list(flog.handlers):
+                flog.removeHandler(h)
+                h.close()
         self._obj_list_handler = objmod.ObjectListInterface()
 
         self._lat = None

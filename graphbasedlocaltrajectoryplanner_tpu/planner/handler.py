@@ -724,6 +724,15 @@ class OnlineHandler:
                 if is_follow and bool(out["too_close"]):
                     LOG.warning("Too close to object! Entering safety "
                                 "distance... [Follow-Mode]")
+                # follow-mode controller log (reference
+                # calc_vel_profile_follow.py:241-245; consumed by the
+                # viewer's follow-debug figure, visualize_graph_log.py:397+)
+                if is_follow and \
+                        "follow_mode_logger" in logging.Logger.manager.loggerDict:
+                    logging.getLogger("follow_mode_logger").info(
+                        "%s;%s;%s;%s;%s;%s", time.time(), obj_dist,
+                        float(out["follow_control_d"]),
+                        float(out["follow_v_control"]), v_obj, vel_est)
                 bp_out = np.asarray(out["traj"])[:n_valid]
 
                 # ---- assemble / infeasibility ladder (OTH:943-1015) ------

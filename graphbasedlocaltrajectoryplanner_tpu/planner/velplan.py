@@ -133,7 +133,8 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     el_m = jnp.where(idx < pref_idx, 0.0, el)
 
     # ---- follow profile (calc_vel_profile_follow) -------------------------
-    vx_follow, too_close, follow_bound = velops.calc_vel_profile_follow(
+    (vx_follow, too_close, follow_bound, follow_v_control,
+     follow_control_d) = velops.calc_vel_profile_follow(
         kappa_m, el_m, gg_s, machines,
         v_start=vel_start, v_ego=vel_est, v_obj=v_obj, v_max=vel_max,
         safety_d=safety_d, veh_length=veh_length, obj_dist=obj_dist,
@@ -203,7 +204,9 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     traj = jnp.column_stack([s, path[:, 0], path[:, 1], path[:, 2],
                              path[:, 3], vx_f, ax_f])
     return dict(traj=traj, vel_bound=vel_bound, too_close=too_close,
-                pref_idx=pref_idx, vel_start=vel_start)
+                pref_idx=pref_idx, vel_start=vel_start,
+                follow_v_control=follow_v_control,
+                follow_control_d=follow_control_d)
 
 
 @jax.jit

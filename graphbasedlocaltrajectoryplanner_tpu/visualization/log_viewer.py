@@ -69,6 +69,50 @@ def render_tick(ax, lat, row, title=None):
     ax.legend(uniq.values(), uniq.keys(), loc="upper right")
 
 
+def plot_follow_debug(follow_path: str):
+    """Follow-mode controller debug figure (reference
+    visualize_graph_log.py:397-448): distances + velocities over time,
+    with gaps (NaN) inserted where consecutive rows are >1 s apart."""
+    import matplotlib.pyplot as plt
+
+    data = np.genfromtxt(follow_path, delimiter=";", names=True)
+    if data.size == 0:
+        return None
+    data = np.atleast_1d(data)
+    t = np.asarray(data["time"], float)
+    gaps = np.concatenate([[False], np.abs(np.diff(t)) > 1.0])
+    t0 = t[0]
+
+    def ch(name):
+        v = np.asarray(data[name], float).copy()
+        v[gaps] = np.nan
+        return v
+
+    tt = t - t0
+    tt[gaps] = np.nan
+    fig = plt.figure("Follow Mode Debug", figsize=(9, 7))
+    fig.clf()
+    ax1 = plt.subplot(2, 1, 1)
+    ax1.set_title("Distances")
+    ax1.set_xlabel("$t$ in s")
+    ax1.set_ylabel("dist in m")
+    ax1.grid()
+    ax1.plot(tt, ch("control_dist"))
+    ax1.plot(tt, ch("obj_dist"))
+    ax1.legend(["$dist_{control}$", "$dist_{obj}$"])
+    ax2 = plt.subplot(2, 1, 2, sharex=ax1)
+    ax2.set_title("Velocities")
+    ax2.set_xlabel("$t$ in s")
+    ax2.set_ylabel("$v$ in m/s")
+    ax2.grid()
+    ax2.plot(tt, ch("v_control"))
+    ax2.plot(tt, ch("v_target"))
+    ax2.plot(tt, ch("v_ego"))
+    ax2.legend(["$v_{control}$", "$v_{target}$", "$v_{ego}$"])
+    fig.tight_layout()
+    return fig
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
@@ -105,6 +149,17 @@ def main(argv=None):
     if args.out:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    # follow-mode debug figure, auto-detected next to the data log
+    # (reference visualize_graph_log.py:395-397 path derivation)
+    follow_path = args.data.replace("_data.csv", "_follow.csv")
+    import os
+    if os.path.isfile(follow_path):
+        ffig = plot_follow_debug(follow_path)
+        if ffig is not None and args.out:
+            fout = args.out.rsplit(".", 1)[0] + "_follow.png"
+            ffig.savefig(fout, dpi=120)
+            print("wrote", fout)
 
     fig, ax = plt.subplots(figsize=(10, 8))
     idx = args.tick if args.tick >= 0 else len(rows) + args.tick

@@ -123,7 +123,7 @@ def test_ax_profile_and_convfilt():
 def test_follow_mode_basic():
     kappa, el, gg, machines = _track(seed=6)
     ctrl = {"c_p": 1.25, "k_d": 0.025, "k_p": 0.2}
-    vx, too_close, ok = vel.calc_vel_profile_follow(
+    vx, too_close, ok, v_ctrl, ctrl_d = vel.calc_vel_profile_follow(
         jnp.array(kappa), jnp.array(el), jnp.array(gg), jnp.array(machines),
         v_start=20.0, v_ego=20.0, v_obj=15.0, v_max=70.0, safety_d=30.0,
         veh_length=4.7, obj_dist=60.0, opp_stop_dist=20.0, opp_vel_at=0.0,
@@ -139,7 +139,7 @@ def test_follow_mode_basic():
 def test_follow_mode_too_close():
     kappa, el, gg, machines = _track(seed=7)
     ctrl = {"c_p": 1.25, "k_d": 0.025, "k_p": 0.2}
-    _, too_close, _ = vel.calc_vel_profile_follow(
+    _, too_close, _, _, _ = vel.calc_vel_profile_follow(
         jnp.array(kappa), jnp.array(el), jnp.array(gg), jnp.array(machines),
         v_start=20.0, v_ego=20.0, v_obj=15.0, v_max=70.0, safety_d=30.0,
         veh_length=4.7, obj_dist=10.0, opp_stop_dist=20.0, opp_vel_at=0.0,
