@@ -170,7 +170,8 @@ class GraphLTPL:
             from graphbasedlocaltrajectoryplanner_tpu.visualization.plot_handler \
                 import PlotHandler
             self._plot_handler = PlotHandler(
-                plot_title="Local Trajectory - Online Graph")
+                plot_title="Local Trajectory - Online Graph",
+                include_timeline=True)
             self._plot_handler.plot_lattice(self._lat)
 
     # ------------------------------------------------------------------
@@ -287,4 +288,5 @@ class GraphLTPL:
             obj_veh=self._obj_veh,
             obj_zone=self._obj_zone,
             pos_est=self._pos_est,
-            action_id=self._prev_action_id)
+            action_id=self._prev_action_id,
+            action_set=self._action_set)
