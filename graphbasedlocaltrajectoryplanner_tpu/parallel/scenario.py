@@ -108,22 +108,25 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     L, N, H = lat.L, lat.N, lat.H_max
 
     # closest object -> obstacle node (gen_local_node_template.py:164-213)
-    obj_layer = col.object_layers(lat.refline, scen.obj_pos)
-    h_goal = lat.h_goal_for_start[scen.start_layer]
-    obs_idx, obs_dist, obs_found = col.closest_object(
-        obj_layer, scen.obj_active, scen.start_layer, h_goal, L)
-    obs_layer = obj_layer[obs_idx]
-    d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
-                 axis=-1)
-    d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
-    obs_node = jnp.argmin(d2).astype(jnp.int32)
+    with jax.named_scope("gltpl.object_selection"):
+        obj_layer = col.object_layers(lat.refline, scen.obj_pos)
+        h_goal = lat.h_goal_for_start[scen.start_layer]
+        obs_idx, obs_dist, obs_found = col.closest_object(
+            obj_layer, scen.obj_active, scen.start_layer, h_goal, L)
+        obs_layer = obj_layer[obs_idx]
+        d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
+                     axis=-1)
+        d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
+        obs_node = jnp.argmin(d2).astype(jnp.int32)
 
     zone_block = jnp.zeros((L, N), bool)
-    out = pg.plan_window_kernel(
-        lat, scen.start_layer, scen.start_node, zone_block,
-        scen.obj_pos, scen.obj_radius, scen.obj_active,
-        obs_layer, obs_node, obs_found,
-        jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32), n_last=2)
+    with jax.named_scope("gltpl.plan_window"):
+        out = pg.plan_window_kernel(
+            lat, scen.start_layer, scen.start_node, zone_block,
+            scen.obj_pos, scen.obj_radius, scen.obj_active,
+            obs_layer, obs_node, obs_found,
+            jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32),
+            n_last=2)
 
     feas = pg.feasibility_vectors(out["best"], out["vg"])     # (4, H+1)
 
@@ -156,7 +159,8 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                                         h_eff, psi_s, p_max=p_max)
         return res, cost
 
-    res_all, cost_all = jax.vmap(run_slot)(jnp.arange(4), h_safe)
+    with jax.named_scope("gltpl.backtrace_assemble"):
+        res_all, cost_all = jax.vmap(run_slot)(jnp.arange(4), h_safe)
 
     # velocity profiles per slot
     gg = jnp.broadcast_to(jnp.asarray(gg_lim, jnp.float32), (p_max, 2))
@@ -192,7 +196,8 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh)
         return o["traj"]
 
-    trajs = jax.vmap(vel_slot)(jnp.arange(4), res_all, h_safe)
+    with jax.named_scope("gltpl.velocity"):
+        trajs = jax.vmap(vel_slot)(jnp.arange(4), res_all, h_safe)
     return dict(trajs=trajs, valid=valid, cost=cost_all, h_eff=h_all,
                 n_valid=res_all["n_valid"])
 
