@@ -71,18 +71,32 @@ def main():
         results[nd] = rps
         print(f"devices={nd:3d}  batch={batch:5d}  replans/s={rps:10.1f}")
 
-    base = results[counts[0]] / counts[0]
-    eff = {nd: results[nd] / (nd * base) for nd in counts}
-    summary = dict(devices=counts,
+    if args.cpu_devices:
+        # virtual devices share the SAME physical cores as the 1-device
+        # baseline (which already uses them all via XLA intra-op
+        # parallelism), so per-device efficiency is meaningless here.  The
+        # honest number on a forced-CPU mesh is the sharding/collective
+        # overhead: total throughput at N virtual devices vs 1 —
+        # ideal = 1.0, >1.0 means the mesh path even utilizes better.
+        eff = {nd: results[nd] / results[counts[0]] for nd in counts}
+        metric = "mesh_overhead_throughput_ratio_virtual_cpu"
+        ideal = 1.0
+    else:
+        # real chips: classic weak-scaling efficiency vs linear ideal
+        base = results[counts[0]] / counts[0]
+        eff = {nd: results[nd] / (nd * base) for nd in counts}
+        metric = "scaling_efficiency_max_devices"
+        ideal = 0.85
+    summary = dict(devices=counts, virtual_cpu=bool(args.cpu_devices),
                    replans_per_sec={str(k): v for k, v in results.items()},
                    scaling_efficiency={str(k): eff[k] for k in counts})
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/SCALING.json", "w") as fh:
         json.dump(summary, fh, indent=1)
-    print(json.dumps({"metric": "scaling_efficiency_max_devices",
+    print(json.dumps({"metric": metric,
                       "value": round(eff[counts[-1]], 3),
                       "unit": "ratio",
-                      "vs_baseline": round(eff[counts[-1]] / 0.85, 2)}))
+                      "vs_baseline": round(eff[counts[-1]] / ideal, 2)}))
 
 
 if __name__ == "__main__":
