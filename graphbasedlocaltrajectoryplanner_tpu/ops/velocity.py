@@ -172,6 +172,70 @@ def calc_vel_profile_brake(kappa: jnp.ndarray,
     return jnp.concatenate([jnp.asarray(v_start, kappa.dtype)[None], v_tail])
 
 
+# scan-pass modes for stacked_vel_scan
+MODE_FWD = 0      # forward friction-circle + machine-limit acceleration
+MODE_BRAKE = 1    # pure braking (friction + drag), no velocity bound
+MODE_BWD = 2     # backward conservative-refinement pass (pre-flipped inputs)
+
+
+def stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init, mode,
+                     ax_max_machines, dyn_model_exp, drag_coeff, m_veh,
+                     unroll: int = 8):
+    """Run R *independent* velocity recurrences of length T in ONE
+    ``lax.scan`` — the latency optimization for the velocity stage: the
+    sequential scans of :func:`calc_vel_profile_fb` /
+    :func:`calc_vel_profile_brake` are latency-bound on TPU (tiny per-step
+    work, ~P sequential steps each), so independent passes are stacked on a
+    leading batch axis instead of being issued one after the other
+    (planner/velplan.velocity_kernel schedules its 8 passes as 4 stacked
+    levels this way).
+
+    All per-step arrays are (R, T); ``v_init``/``mode`` are (R,).  ``k2``/
+    ``axm2``/``aym2`` are the *second* interpolation point used only by
+    MODE_BWD rows (the fb solver's two-step conservative refinement) — pass
+    the same arrays as k1/axm1/aym1 for other modes.  MODE_BWD rows must
+    receive pre-flipped inputs (the scan always walks axis 1 forward); the
+    caller flips the output back.
+
+    :returns: (R, T + 1) velocities, column 0 = ``v_init``.
+
+    The per-step math is identical to :func:`calc_vel_profile_fb` (fwd/bwd)
+    and :func:`calc_vel_profile_brake`; computing all three candidate
+    updates and selecting by ``mode`` costs 3x the (negligible) per-step
+    FLOPs and removes (R-1)/R of the sequential latency.
+    """
+    mode = jnp.asarray(mode, jnp.int32)
+
+    def step(v, inp):
+        k1_, a1_, y1_, k2_, a2_, y2_, d_, vl_ = inp
+        a_t = _ax_tires(v, k1_, a1_, y1_, dyn_model_exp)
+        drag = v * v * drag_coeff / m_veh
+        a_m = _interp_sorted(v, ax_max_machines[:, 0], ax_max_machines[:, 1])
+        # MODE_FWD
+        acc = jnp.minimum(a_t, a_m) - drag
+        v_f = jnp.minimum(
+            jnp.sqrt(jnp.maximum(v * v + 2.0 * acc * d_, 0.0)), vl_)
+        # MODE_BRAKE
+        dec = a_t + drag
+        v_b = jnp.sqrt(jnp.maximum(v * v - 2.0 * dec * d_, 0.0))
+        # MODE_BWD (two-step refinement, calc_vel_profile_fb bwd)
+        v_est = jnp.sqrt(v * v + 2.0 * dec * d_)
+        a_t2 = _ax_tires(v_est, k2_, a2_, y2_, dyn_model_exp)
+        dec2 = a_t2 + v_est * v_est * drag_coeff / m_veh
+        v_r = jnp.minimum(
+            jnp.sqrt(jnp.maximum(v * v + 2.0 * jnp.minimum(dec, dec2) * d_,
+                                 0.0)), vl_)
+        v_next = jnp.where(mode == MODE_FWD, v_f,
+                           jnp.where(mode == MODE_BRAKE, v_b, v_r))
+        return v_next, v_next
+
+    xs = tuple(jnp.moveaxis(a, 1, 0)
+               for a in (k1, axm1, aym1, k2, axm2, aym2, ds, v_lim))
+    v0 = jnp.asarray(v_init, k1.dtype)
+    _, ys = jax.lax.scan(step, v0, xs, unroll=unroll)
+    return jnp.concatenate([v0[None, :], ys], axis=0).T
+
+
 def calc_ax_profile(vx_profile: jnp.ndarray, el_lengths: jnp.ndarray):
     """Acceleration implied by a velocity profile (tph ``calc_ax_profile``):
     ``ax_i = (v_{i+1}^2 - v_i^2) / (2 ds_i)``.  Zero where ``ds == 0``

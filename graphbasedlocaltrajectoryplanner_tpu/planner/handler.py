@@ -633,8 +633,8 @@ class OnlineHandler:
                 self.m_veh)
         else:
             opp_stop_dist = jnp.float32(0.0)
-            roll_vel = jnp.zeros((512,), jnp.float32)
-            roll_cum = jnp.ones((512,), jnp.float32)
+            roll_vel = jnp.zeros((vp.F_CAP,), jnp.float32)
+            roll_cum = jnp.ones((vp.F_CAP,), jnp.float32)
 
         prefix_became_inactive = vel_plan <= (vel_max + 0.1)
 

@@ -38,10 +38,16 @@ OPP_GGV_AY = 14.0
 EMERG_VEH_MASS = 1160.0
 EMERG_VEH_DRAGCOEFF = 0.854
 
+# opponent brake-summary window: worst case 70 m/s at the fixed 14 m/s^2
+# opponent ggv stops in 175 m ~ 60 fine-raceline points (~3 m spacing) —
+# 128 is ample and keeps the sequential scan short (it sits on the tick's
+# latency-critical path)
+F_CAP = 128
+
 
 @partial(jax.jit, static_argnames=("f_cap",))
 def opponent_summary(glob_rl, glob_el, obj_pos, v_obj,
-                     dyn_model_exp, drag_coeff, m_veh, f_cap: int = 512):
+                     dyn_model_exp, drag_coeff, m_veh, f_cap: int = F_CAP):
     """Opponent stopping behaviour on the global raceline
     (calc_vel_profile_follow.py:168-221).
 
@@ -113,14 +119,47 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     s = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el[:-1])])
     gg_s = gg * gg_scale
     ctrl = {"c_p": ctrl_cp, "k_d": ctrl_kd, "k_p": ctrl_kp, "tan_w": ctrl_tanw}
+    INF = jnp.full((P - 1,), jnp.inf)
+    kabs = jnp.abs(kappa)
 
-    # ---- brake prefix to a lowered v_max (VpForwardBackward:86-139) -------
+    # The 8 sequential solver passes (brake prefix; follow's ego-brake +
+    # seg2 fwd/bwd + unconstrained fwd/bwd; normal fwd/bwd) are scheduled as
+    # 4 dependency levels of ONE stacked scan each (stacked_vel_scan) — the
+    # passes are latency-bound, so independent ones run side by side.
+
+    def _lvl(rows, mode):
+        k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
+                                              zip(*rows)]
+        return velops.stacked_vel_scan(
+            k1, a1, y1, k2, a2, y2, d_, vl, vi, jnp.asarray(mode, jnp.int32),
+            machines, dyn_model_exp, drag_coeff, m_veh)
+
+    def _brake_row(k_abs, g, e, v0):
+        z = k_abs[:-1]
+        return (z, g[:-1, 0], g[:-1, 1], z, g[:-1, 0], g[:-1, 1],
+                e[:-1], INF, v0)
+
+    def _fwd_row(k_abs, g, e, v_bound, v0):
+        # v_bound is the pointwise limit incl. v_end clamp; v0 the pinned
+        # start (calc_vel_profile_fb's v0 construction)
+        z = k_abs[:-1]
+        return (z, g[:-1, 0], g[:-1, 1], z, g[:-1, 0], g[:-1, 1],
+                e[:-1], v_bound[1:], jnp.minimum(v_bound[0], v0))
+
+    def _bwd_row(k_abs, g, e, v_f):
+        # pre-flipped inputs for the reverse refinement pass
+        return (jnp.flip(k_abs[1:]), jnp.flip(g[1:, 0]), jnp.flip(g[1:, 1]),
+                jnp.flip(k_abs[:-1]), jnp.flip(g[:-1, 0]),
+                jnp.flip(g[:-1, 1]), jnp.flip(e[:-1]), jnp.flip(v_f[:-1]),
+                v_f[-1])
+
+    # ---- level 0: brake prefix to a lowered v_max (VpForwardBackward:86-139)
     vel_idx = c_len
     prefix_active = vel_plan > (vel_max + 0.1)
     el_pref = jnp.where(idx < vel_idx, 0.0, el)
-    v_decel = velops.calc_vel_profile_brake(kappa, el_pref, gg * old_gg_scale,
-                                            vel_plan, dyn_model_exp,
-                                            drag_coeff, m_veh)
+    gg_old = gg * old_gg_scale
+    v_decel = _lvl([_brake_row(kabs, gg_old, el_pref, vel_plan)],
+                   [velops.MODE_BRAKE])[0]
     reach = v_decel <= vel_max
     first_reach = jnp.argmax(reach)
     first_reach = jnp.where(reach[first_reach], first_reach, P - 1)
@@ -130,26 +169,27 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
     # masked views representing "the profile from pref_idx onward"
     kappa_m = jnp.where(idx < pref_idx, 0.0, kappa)
+    kabs_m = jnp.abs(kappa_m)
     el_m = jnp.where(idx < pref_idx, 0.0, el)
 
-    # ---- follow profile (calc_vel_profile_follow) -------------------------
-    (vx_follow, too_close, follow_bound, follow_v_control,
-     follow_control_d) = velops.calc_vel_profile_follow(
-        kappa_m, el_m, gg_s, machines,
-        v_start=vel_start, v_ego=vel_est, v_obj=v_obj, v_max=vel_max,
-        safety_d=safety_d, veh_length=veh_length, obj_dist=obj_dist,
-        opp_stop_dist=opp_stop_dist,
-        # opponent run-out velocity where the local path ends (the follow
-        # solver's own s starts at pref_idx, hence the inner end distance)
-        opp_vel_at=_runout_velocity(
-            roll_vel, roll_cum,
-            opp_stop_dist - ((obj_dist - (safety_d + veh_length)
-                              + opp_stop_dist)
-                             - (s[jnp.clip(n_valid - 1, 0, P - 1)] - s[pref_idx]))),
-        control_params=ctrl, control_type=control_type,
-        dyn_model_exp=dyn_model_exp, drag_coeff=drag_coeff, m_veh=m_veh)
+    # ---- follow-mode scalars (calc_vel_profile_follow.py:78-245) ----------
+    follow_control_d = ctrl_cp * safety_d + veh_length
+    safety_total = safety_d + veh_length
+    too_close = (obj_dist - safety_total) < 0.0
+    s_f = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el_m[:-1])])
+    s_stop = obj_dist - safety_total + opp_stop_dist
+    stop_idx = jnp.clip(jnp.sum((s_f < s_stop).astype(jnp.int32)), 0, P - 1)
+    opp_vel_at = _runout_velocity(
+        roll_vel, roll_cum,
+        opp_stop_dist - ((obj_dist - safety_total + opp_stop_dist)
+                         - (s[jnp.clip(n_valid - 1, 0, P - 1)] - s[pref_idx])))
+    v_end_f = jnp.where(s_stop > s_f[-1], opp_vel_at, 0.0)
+    follow_v_control = jnp.clip(
+        velops.follow_control_vel(ctrl, obj_dist, follow_control_d,
+                                  v_obj, vel_est, control_type),
+        0.0, vel_max)
 
-    # ---- normal profile (OTH:832-903) -------------------------------------
+    # ---- normal-branch bounds (OTH:832-903) --------------------------------
     spl_len = s[jnp.clip(n_valid - 1, 0, P - 1)]
     cum = jnp.cumsum(el[:-1])
     below = cum < (spl_len - 5.0)
@@ -157,20 +197,68 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     v_idx_red = jnp.where((v_idx_red == 1) & (n_valid > 1), n_valid, v_idx_red)
     v_idx = jnp.where(red_len, v_idx_red, n_valid)
     v_end = jnp.where(red_len, 0.0, v_end_rl)
-
-    kappa_n = kappa_m
     el_n = jnp.where(idx >= v_idx - 1, 0.0, el_m)
+
+    v_lat = jnp.sqrt(gg_s[:, 1] / jnp.maximum(kabs_m, 1e-9))
+    v0_u = jnp.minimum(v_lat, vel_max)                  # unconstrained
+    v0_n = jnp.minimum(v_lat, vel_max)                  # normal
+    v0_n = jnp.where(idx >= v_idx - 1, jnp.minimum(v0_n, v_end), v0_n)
+
+    # ---- level 1: ego brake + unconstrained fwd + normal fwd --------------
+    lvl1 = _lvl([_brake_row(kabs_m, gg_s, el_m, vel_start),
+                 _fwd_row(kabs_m, gg_s, el_m, v0_u, vel_start),
+                 _fwd_row(kabs_m, gg_s, el_n, v0_n, vel_start)],
+                [velops.MODE_BRAKE, velops.MODE_FWD, velops.MODE_FWD])
+    v_ego_brake, vf_u, vf_n = lvl1[0], lvl1[1], lvl1[2]
+    ego_stop_d = velops.stop_distance(v_ego_brake, el_m)
+
+    # follow segment-1 handoff (calc_vel_profile_follow.py:285-291)
+    seg1_active = (vel_start > follow_v_control) & (stop_idx >= 2)
+    idx_c_raw = jnp.argmax(v_ego_brake <= follow_v_control)
+    idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= follow_v_control,
+                          idx_c_raw, stop_idx)
+    idx_c = jnp.where(seg1_active,
+                      jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
+                                            idx_c_raw), stop_idx), 0)
+    vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c], vel_start)
+
+    el_seg2 = jnp.where(idx < stop_idx, el_m, 0.0)
+    el_seg2 = jnp.where(idx < idx_c, 0.0, el_seg2)
+    v0_s = jnp.minimum(v_lat, follow_v_control)
+    v0_s = jnp.where(idx >= stop_idx, jnp.minimum(v0_s, v_end_f), v0_s)
+
+    # ---- level 2: seg2 fwd + unconstrained bwd + normal bwd ---------------
+    lvl2 = _lvl([_fwd_row(kabs_m, gg_s, el_seg2, v0_s,
+                          jnp.minimum(vx_control_start, follow_v_control)),
+                 _bwd_row(kabs_m, gg_s, el_m, vf_u),
+                 _bwd_row(kabs_m, gg_s, el_n, vf_n)],
+                [velops.MODE_FWD, velops.MODE_BWD, velops.MODE_BWD])
+    vf_s = lvl2[0]
+    vx_compl = jnp.flip(lvl2[1])
+    vx_normal = jnp.flip(lvl2[2])
+
+    # ---- level 3: seg2 bwd -------------------------------------------------
+    v_seg2 = jnp.flip(_lvl([_bwd_row(kabs_m, gg_s, el_seg2, vf_s)],
+                           [velops.MODE_BWD])[0])
+
+    # ---- follow assembly (calc_vel_profile_follow.py:311-330) -------------
+    follow_bound = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
+    follow_bound &= ~((~seg1_active) & (stop_idx < 2))
+    vx_follow = jnp.where(idx < idx_c, v_ego_brake, v_seg2)
+    vx_follow = jnp.where(idx > stop_idx, 0.0, vx_follow)
+    follow_bound &= jnp.abs(vx_follow[0] - vel_start) <= 1.0
+    cannot_hold = ego_stop_d >= s_stop
+    vx_follow = jnp.where(cannot_hold, v_ego_brake, vx_follow)
+    follow_bound = jnp.where(cannot_hold, True, follow_bound)
+    vx_follow = jnp.minimum(vx_follow, vx_compl)
+
+    # ---- normal assembly (OTH:897-911) -------------------------------------
     if vp_backend == "sqp":
         from graphbasedlocaltrajectoryplanner_tpu.ops.qp import qp_vel_profile
         vx_normal, _ = qp_vel_profile(
-            kappa_n, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
+            kappa_m, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
             end_idx=v_idx, drag_coeff=drag_coeff, m_veh=m_veh,
             pin_idx=pref_idx)
-    else:
-        vx_normal = velops.calc_vel_profile_fb(
-            kappa_n, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
-            dyn_model_exp=dyn_model_exp, drag_coeff=drag_coeff, m_veh=m_veh,
-            end_idx=v_idx)
     # zeros beyond the (possibly reduced) profile end (OTH:900-903)
     vx_normal = jnp.where(idx >= v_idx, 0.0, vx_normal)
     # degenerate range -> all-zero profile (OTH:897-898)
