@@ -112,12 +112,11 @@ def plan_window_kernel(lat: Lattice,
         a = last_nodes[jnp.clip(h, 0, n_last - 1)]
         b = last_nodes[jnp.clip(h + 1, 0, n_last - 1)]
         fac = w_last_factors[jnp.clip(h, 0, n_last - 2)]
-        a_c = jnp.clip(a, 0, N - 1)
-        b_c = jnp.clip(b, 0, N - 1)
         apply = (h < n_last - 1) & (a >= 0) & (b >= 0)
-        cur = w[a_c, b_c]
-        w = w.at[a_c, b_c].set(
-            jnp.where(apply & (cur < srch.FEAS_THRESH), cur * fac, cur))
+        # masked multiply instead of a 1-element scatter (batched scatters
+        # lower poorly on TPU under vmap)
+        at_ab = (node_ids[:, None] == a) & (node_ids[None, :] == b)
+        w = jnp.where(at_ab & apply & (w < srch.FEAS_THRESH), w * fac, w)
         # object blocking for this step: select the precomputed slab masks
         is_m1 = (slab_layers[:, 0] == layer)[:, None, None]
         is_0 = (slab_layers[:, 1] == layer)[:, None, None]
@@ -354,34 +353,37 @@ def assemble_action_kernel(lat: Lattice,
     seg_el = jnp.concatenate([seg_el, jnp.zeros((H, 1))], axis=1)  # (H, S)
 
     # --- sample the refit chain with per-segment point counts -------------
-    # masked per-segment accumulation instead of per-point gathers
-    # (coeffs[seg_idx] etc. lower to slow scatter/gathers under vmap; 29
-    # broadcasted polynomial evaluations are pure VPU work)
+    # one-hot segment selection + a SINGLE per-point polynomial evaluation:
+    # the per-point coefficient "gather" is an explicit one-hot matmul
+    # (MXU-friendly; plain coeffs[seg_id] gathers lower poorly under vmap,
+    # and the previous fori over H segments both serialized H steps and
+    # evaluated every segment at full path width)
     idxp = jnp.arange(p_max)
     S = lat.S
     s_ids = jnp.arange(S, dtype=jnp.float32)
 
-    def seg_accum(h, acc):
-        pts_a, psi_a, kap_a, el_a = acc
-        start = node_idx[h]
-        within = (idxp - start).astype(jnp.float32)
-        in_seg = (idxp >= start) & (idxp < node_idx[h + 1])
-        t = jnp.clip(within / jnp.maximum(npts_e[h] - 1, 1), 0.0, 1.0)
-        c = coeffs[h]
-        p = spl.eval_spline(c, t)                       # (P, 2)
-        ps, ka = spl.head_curv_an(c, t)
-        # el via tiny masked sum over the S-entry per-segment table
-        el_h = jnp.sum(jnp.where(within[:, None] == s_ids[None, :],
-                                 seg_el[h][None, :], 0.0), axis=1)
-        pts_a = jnp.where(in_seg[:, None], p, pts_a)
-        psi_a = jnp.where(in_seg, ps, psi_a)
-        kap_a = jnp.where(in_seg, ka, kap_a)
-        el_a = jnp.where(in_seg, el_h, el_a)
-        return pts_a, psi_a, kap_a, el_a
+    seg_id = jnp.sum((node_idx[1:][None, :] <= idxp[:, None])
+                     .astype(jnp.int32), axis=1)
+    seg_id = jnp.clip(seg_id, 0, H - 1)
+    ohb = seg_id[:, None] == jnp.arange(H)[None, :]     # (p_max, H)
+    oh = ohb.astype(coeffs.dtype)
+    # float tables through the MXU at full precision (bf16 passes would
+    # corrupt coefficients beyond the 2 cm parity budget)
+    c_p = jnp.matmul(oh, coeffs.reshape(H, 8),
+                     precision=jax.lax.Precision.HIGHEST)
+    c_p = c_p.reshape(p_max, 4, 2)                      # per-point coeffs
+    el_rows = jnp.matmul(oh, seg_el,
+                         precision=jax.lax.Precision.HIGHEST)  # (p_max, S)
+    # integer tables via exact masked sums
+    start_p = jnp.sum(jnp.where(ohb, node_idx[None, :H], 0), axis=1)
+    npts_p = jnp.sum(jnp.where(ohb, npts_e[None, :], 0), axis=1)
 
-    init = (jnp.zeros((p_max, 2)), jnp.zeros((p_max,)),
-            jnp.zeros((p_max,)), jnp.zeros((p_max,)))
-    pts, psi, kappa, el = jax.lax.fori_loop(0, H, seg_accum, init)
+    within = (idxp - start_p).astype(jnp.float32)
+    t = jnp.clip(within / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)
+    pts = spl.eval_spline(c_p, t)                       # (p_max, 2)
+    psi, kappa = spl.head_curv_an(c_p, t)
+    el = jnp.sum(jnp.where(within[:, None] == s_ids[None, :], el_rows, 0.0),
+                 axis=1)
     el = jnp.where(idxp >= n_valid - 1, 0.0, el)
 
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)

@@ -11,9 +11,18 @@ import numpy as np
 
 from graphbasedlocaltrajectoryplanner_tpu.models.track import (
     GlobalTrajectory, import_globtraj_csv)
-from graphbasedlocaltrajectoryplanner_tpu.ops.heading import calc_head_curv_num
 
-import jax.numpy as jnp
+
+def _heading_num_np(path: np.ndarray, el_lengths: np.ndarray) -> np.ndarray:
+    """Numpy heading of a closed polyline (same chord semantics as
+    ops.heading.calc_head_curv_num, psi-step 1 m).  Deliberately JAX-free:
+    the dummy is a host-side tool — importing JAX here would initialize the
+    TPU backend and contend with the planner process for the device tunnel.
+    """
+    step = max(round(1.0 / float(np.mean(el_lengths))), 1)
+    d = np.roll(path, -step, axis=0) - np.roll(path, step, axis=0)
+    psi = np.arctan2(d[:, 1], d[:, 0]) - np.pi / 2.0
+    return np.mod(psi + np.pi, 2.0 * np.pi) - np.pi
 
 
 class ObjectlistDummy:
@@ -33,9 +42,8 @@ class ObjectlistDummy:
             raceline = globtraj.raceline
             self._raceline = raceline
             self._s_rl = np.cumsum(globtraj.el_lengths)
-            psi = np.asarray(calc_head_curv_num(
-                jnp.asarray(raceline), jnp.asarray(globtraj.el_lengths),
-                is_closed=True)[0])
+            psi = _heading_num_np(np.asarray(raceline),
+                                  np.asarray(globtraj.el_lengths))
             self._psi_rl = np.where(psi < 0.0, psi + 2 * np.pi, psi)
             self._vel_rl = globtraj.vel_rl * vel_scale
         self._tic = self._clock()
@@ -84,6 +92,29 @@ def publish_loop(globtraj_path: str, vel_scale: float = 0.5,
             sock.send_string(topic, zmq.SNDMORE)
             sock.send_json(obj_list)
             time.sleep(0.1)
+    except KeyboardInterrupt:
+        # graceful shutdown: clear all zones/objects twice before closing
+        # (reference objectlist_dummy.py:40-53 SIGINT handler)
+        print("Clearing all zones and objects...")
+        for _ in range(2):
+            sock.send_string(topic, zmq.SNDMORE)
+            sock.send_json([])
+            time.sleep(0.5)
     finally:
         sock.close()
         ctx.term()
+
+
+def main():       # pragma: no cover - thin CLI (reference __main__ block)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="standalone ZMQ object-list publisher")
+    ap.add_argument("--track", required=True)
+    ap.add_argument("--vel-scale", type=float, default=0.5)
+    ap.add_argument("--port", type=int, default=47209)
+    args = ap.parse_args()
+    publish_loop(args.track, vel_scale=args.vel_scale, port=args.port)
+
+
+if __name__ == "__main__":       # pragma: no cover
+    main()
