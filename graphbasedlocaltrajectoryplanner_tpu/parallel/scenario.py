@@ -170,34 +170,26 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         lat.glob_rl, lat.glob_el, c_obj_pos, c_obj_vel,
         dyn_model_exp, drag_coeff, m_veh)
 
-    def vel_slot(slot, res, h_eff):
-        path = res["path"]
-        n_valid = res["n_valid"]
-        # raceline end velocity with lateral decrease (OTH:860-867)
-        end_layer = out["win_layers"][h_eff]
-        # end node: gather from node_idx chain is implicit; use vg argmin slot
-        # chain end = last node of backtrace — recover from path end position
-        # via the stored node chain in assemble (node_idx) is not needed:
-        # use goal-layer raceline velocity as the planning target
-        v_rl = lat.vel_rl[end_layer]
-        s_obj, _ = proj.get_s_coord(path[:, 0:2], c_obj_pos,
-                                    jnp.cumsum(path[:, 4]))
+    with jax.named_scope("gltpl.velocity"):
+        # raceline end velocity per slot (OTH:860-867: goal-layer raceline
+        # velocity as the planning target)
+        v_rl = lat.vel_rl[out["win_layers"][h_safe]]        # (4,)
+        # object distance along the FOLLOW slot's path (only consumer)
+        path_f = res_all["path"][pg.SLOT_FOLLOW]
+        s_obj, _ = proj.get_s_coord(path_f[:, 0:2], c_obj_pos,
+                                    jnp.cumsum(path_f[:, 4]))
         obj_dist = jnp.where(obs_found, s_obj, 0.0)
-        o = vp.velocity_kernel(
-            path, n_valid, gg, jnp.zeros((p_max,), jnp.float32),
-            jnp.int32(0), scen.vel_plan, scen.vel_est,
-            jnp.float32(vel_max), jnp.float32(1.0), jnp.float32(1.0),
-            machines, jnp.float32(0.1),
-            slot == pg.SLOT_FOLLOW, False, v_rl,
+        o = vp.velocity_stage_scenario(
+            res_all["path"], res_all["n_valid"], gg,
+            scen.vel_plan, scen.vel_est, jnp.float32(vel_max),
+            machines, jnp.float32(0.1), v_rl,
             obj_dist, c_obj_vel, jnp.float32(safety_d),
             opp_stop_dist, roll_vel, roll_cum,
             jnp.float32(lat.veh_length),
             jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
-            jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh)
-        return o["traj"]
-
-    with jax.named_scope("gltpl.velocity"):
-        trajs = jax.vmap(vel_slot)(jnp.arange(4), res_all, h_safe)
+            jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh,
+            follow_slot=pg.SLOT_FOLLOW)
+        trajs = o["trajs"]
     return dict(trajs=trajs, valid=valid, cost=cost_all, h_eff=h_all,
                 n_valid=res_all["n_valid"])
 

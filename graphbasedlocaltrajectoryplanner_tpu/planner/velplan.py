@@ -297,6 +297,186 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                 follow_control_d=follow_control_d)
 
 
+@partial(jax.jit, static_argnames=("control_type", "follow_slot"))
+def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
+                            n_valids,     # (4,)
+                            gg,           # (P, 2) shared local gg (unscaled)
+                            vel_plan, vel_est, vel_max,
+                            machines, v_max_offset,
+                            v_end_rl,     # (4,) per-slot raceline end velocity
+                            obj_dist, v_obj, safety_d,
+                            opp_stop_dist, roll_vel, roll_cum,
+                            veh_length,
+                            ctrl_cp, ctrl_kd, ctrl_kp, ctrl_tanw,
+                            dyn_model_exp, drag_coeff, m_veh,
+                            control_type: str = "PD",
+                            follow_slot: int = 1):
+    """Slot-specialized velocity stage for the batched scenario engine —
+    the same math as 4x :func:`velocity_kernel` (with ``c_len=0``,
+    ``red_len=False``, ``gg_scale=old_gg_scale=1``) but the follow solver
+    runs ONLY for the follow slot: 13 recurrence rows across the 4 stacked
+    levels instead of 32 (prefix x4; ego-brake/unconstrained/seg2 x1 each;
+    normal fwd/bwd x4).  Equivalence pinned by tests/test_velplan_fused.py.
+
+    :returns: dict(trajs (4, P, 7), vel_bound (4,), too_close scalar).
+    """
+    F = follow_slot
+    P = paths.shape[1]
+    idx = jnp.arange(P)
+    kappa = paths[:, :, 3]
+    el = paths[:, :, 4]                                  # (4, P)
+    kabs = jnp.abs(kappa)
+    INF = jnp.full((P - 1,), jnp.inf)
+    ctrl = {"c_p": ctrl_cp, "k_d": ctrl_kd, "k_p": ctrl_kp, "tan_w": ctrl_tanw}
+
+    def _lvl(rows, mode):
+        k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
+                                              zip(*rows)]
+        return velops.stacked_vel_scan(
+            k1, a1, y1, k2, a2, y2, d_, vl, vi, jnp.asarray(mode, jnp.int32),
+            machines, dyn_model_exp, drag_coeff, m_veh)
+
+    gcol0, gcol1 = gg[:-1, 0], gg[:-1, 1]
+
+    def _brake_row(k_abs, e, v0):
+        return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
+                e[:-1], INF, v0)
+
+    def _fwd_row(k_abs, e, v_bound, v0):
+        return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
+                e[:-1], v_bound[1:], jnp.minimum(v_bound[0], v0))
+
+    def _bwd_row(k_abs, e, v_f):
+        return (jnp.flip(k_abs[1:]), jnp.flip(gg[1:, 0]), jnp.flip(gg[1:, 1]),
+                jnp.flip(k_abs[:-1]), jnp.flip(gg[:-1, 0]),
+                jnp.flip(gg[:-1, 1]), jnp.flip(e[:-1]), jnp.flip(v_f[:-1]),
+                v_f[-1])
+
+    # ---- level 0: brake prefix per slot ------------------------------------
+    prefix_active = vel_plan > (vel_max + 0.1)
+    v_decel = _lvl([_brake_row(kabs[s], el[s], vel_plan) for s in range(4)],
+                   [velops.MODE_BRAKE] * 4)              # (4, P)
+    reach = v_decel <= vel_max
+    first_reach = jnp.argmax(reach, axis=1)
+    got = jnp.take_along_axis(reach, first_reach[:, None], axis=1)[:, 0]
+    first_reach = jnp.where(got, first_reach, P - 1)
+    pref_idx = jnp.where(prefix_active, first_reach, 0)  # (4,)
+    vel_start = jnp.where(
+        prefix_active,
+        jnp.take_along_axis(v_decel, pref_idx[:, None], axis=1)[:, 0],
+        vel_plan)
+
+    kappa_m = jnp.where(idx[None, :] < pref_idx[:, None], 0.0, kappa)
+    kabs_m = jnp.abs(kappa_m)
+    el_m = jnp.where(idx[None, :] < pref_idx[:, None], 0.0, el)
+
+    # ---- follow scalars (follow slot only) ---------------------------------
+    s4 = jnp.concatenate([jnp.zeros((4, 1)), jnp.cumsum(el[:, :-1], axis=1)],
+                         axis=1)
+    control_d = ctrl_cp * safety_d + veh_length
+    safety_total = safety_d + veh_length
+    too_close = (obj_dist - safety_total) < 0.0
+    s_f = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el_m[F, :-1])])
+    s_stop = obj_dist - safety_total + opp_stop_dist
+    stop_idx = jnp.clip(jnp.sum((s_f < s_stop).astype(jnp.int32)), 0, P - 1)
+    opp_vel_at = _runout_velocity(
+        roll_vel, roll_cum,
+        opp_stop_dist - ((obj_dist - safety_total + opp_stop_dist)
+                         - (s4[F, jnp.clip(n_valids[F] - 1, 0, P - 1)]
+                            - s4[F, pref_idx[F]])))
+    v_end_f = jnp.where(s_stop > s_f[-1], opp_vel_at, 0.0)
+    v_control = jnp.clip(
+        velops.follow_control_vel(ctrl, obj_dist, control_d,
+                                  v_obj, vel_est, control_type),
+        0.0, vel_max)
+
+    # ---- normal bounds per slot (red_len = False) ---------------------------
+    v_idx = n_valids                                     # (4,)
+    el_n = jnp.where(idx[None, :] >= v_idx[:, None] - 1, 0.0, el_m)
+    v_lat = jnp.sqrt(gg[None, :, 1] / jnp.maximum(kabs_m, 1e-9))  # (4, P)
+    v0_n = jnp.minimum(v_lat, vel_max)
+    v0_n = jnp.where(idx[None, :] >= v_idx[:, None] - 1,
+                     jnp.minimum(v0_n, v_end_rl[:, None]), v0_n)
+    v0_u = jnp.minimum(v_lat[F], vel_max)
+
+    # ---- level 1: ego brake (F) + unconstrained fwd (F) + normal fwd x4 ----
+    lvl1 = _lvl([_brake_row(kabs_m[F], el_m[F], vel_start[F]),
+                 _fwd_row(kabs_m[F], el_m[F], v0_u, vel_start[F])]
+                + [_fwd_row(kabs_m[s], el_n[s], v0_n[s], vel_start[s])
+                   for s in range(4)],
+                [velops.MODE_BRAKE, velops.MODE_FWD] + [velops.MODE_FWD] * 4)
+    v_ego_brake = lvl1[0]
+    vf_u = lvl1[1]
+    vf_n = lvl1[2:]                                      # (4, P)
+    ego_stop_d = velops.stop_distance(v_ego_brake, el_m[F])
+
+    seg1_active = (vel_start[F] > v_control) & (stop_idx >= 2)
+    idx_c_raw = jnp.argmax(v_ego_brake <= v_control)
+    idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= v_control,
+                          idx_c_raw, stop_idx)
+    idx_c = jnp.where(seg1_active,
+                      jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
+                                            idx_c_raw), stop_idx), 0)
+    vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c],
+                                 vel_start[F])
+
+    el_seg2 = jnp.where(idx < stop_idx, el_m[F], 0.0)
+    el_seg2 = jnp.where(idx < idx_c, 0.0, el_seg2)
+    v0_s = jnp.minimum(v_lat[F], v_control)
+    v0_s = jnp.where(idx >= stop_idx, jnp.minimum(v0_s, v_end_f), v0_s)
+
+    # ---- level 2: seg2 fwd (F) + unconstrained bwd (F) + normal bwd x4 ----
+    lvl2 = _lvl([_fwd_row(kabs_m[F], el_seg2, v0_s,
+                          jnp.minimum(vx_control_start, v_control)),
+                 _bwd_row(kabs_m[F], el_m[F], vf_u)]
+                + [_bwd_row(kabs_m[s], el_n[s], vf_n[s]) for s in range(4)],
+                [velops.MODE_FWD, velops.MODE_BWD] + [velops.MODE_BWD] * 4)
+    vf_s = lvl2[0]
+    vx_compl = jnp.flip(lvl2[1])
+    vx_normal = jnp.flip(lvl2[2:], axis=1)               # (4, P)
+
+    # ---- level 3: seg2 bwd --------------------------------------------------
+    v_seg2 = jnp.flip(_lvl([_bwd_row(kabs_m[F], el_seg2, vf_s)],
+                           [velops.MODE_BWD])[0])
+
+    # ---- follow assembly ----------------------------------------------------
+    follow_bound = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
+    follow_bound &= ~((~seg1_active) & (stop_idx < 2))
+    vx_follow = jnp.where(idx < idx_c, v_ego_brake, v_seg2)
+    vx_follow = jnp.where(idx > stop_idx, 0.0, vx_follow)
+    follow_bound &= jnp.abs(vx_follow[0] - vel_start[F]) <= 1.0
+    cannot_hold = ego_stop_d >= s_stop
+    vx_follow = jnp.where(cannot_hold, v_ego_brake, vx_follow)
+    follow_bound = jnp.where(cannot_hold, True, follow_bound)
+    vx_follow = jnp.minimum(vx_follow, vx_compl)
+
+    # ---- normal assembly per slot ------------------------------------------
+    vx_normal = jnp.where(idx[None, :] >= v_idx[:, None], 0.0, vx_normal)
+    degenerate = (v_idx - pref_idx) <= 1                 # (4,)
+    vx_normal = jnp.where(degenerate[:, None], 0.0, vx_normal)
+    at_pref = jnp.take_along_axis(vx_normal, pref_idx[:, None], axis=1)[:, 0]
+    normal_bound = jnp.abs(at_pref - vel_start) < v_max_offset
+    normal_bound = jnp.where(degenerate, False, normal_bound)
+
+    # ---- select per slot + prefix + smoothing -------------------------------
+    is_follow = jnp.arange(4) == F
+    vx_branch = jnp.where(is_follow[:, None], vx_follow[None, :], vx_normal)
+    vel_bound = jnp.where(is_follow, follow_bound, normal_bound)
+    vx_full = jnp.where(idx[None, :] < pref_idx[:, None], v_decel, vx_branch)
+
+    ax = (vx_full[:, 1:] ** 2 - vx_full[:, :-1] ** 2) \
+        / jnp.maximum(2.0 * el[:, :-1], 1e-9)
+    ax = jnp.where(el[:, :-1] > 1e-9, ax, 0.0)
+    stationary = jnp.isclose(vx_full[:, :-1], 0.0) & jnp.isclose(ax, 0.0) \
+        & (idx[None, :-1] < n_valids[:, None] - 1)
+    ax = jnp.where(stationary, -5.0, ax)
+    ax_f = jnp.concatenate([ax, jnp.zeros((4, 1))], axis=1)
+
+    trajs = jnp.stack([s4, paths[:, :, 0], paths[:, :, 1], paths[:, :, 2],
+                       paths[:, :, 3], vx_full, ax_f], axis=2)
+    return dict(trajs=trajs, vel_bound=vel_bound, too_close=too_close)
+
+
 @jax.jit
 def brake_on_backup_kernel(path,          # (P, 5) backup path cut at position
                            n_valid,

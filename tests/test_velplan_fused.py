@@ -85,6 +85,59 @@ def test_fused_follow_matches_follow_solver(obj_dist):
                                float(ctrl_d), rtol=1e-6)
 
 
+@pytest.mark.parametrize("vel_plan,vel_max,obj_dist",
+                         [(20.0, 70.0, 90.0),     # plain
+                          (60.0, 30.0, 40.0)])    # brake prefix + close obj
+def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist):
+    """velocity_stage_scenario (13 stacked rows) == 4x velocity_kernel."""
+    import jax.numpy as jnp
+    P = 160
+    paths = np.stack([_path(P=P, seed=s, n_valid=110 + 5 * s)
+                      for s in range(4)])
+    n_valids = np.array([110, 115, 120, 125], np.int32)
+    gg = np.full((P, 2), 8.0, np.float32)
+    roll_vel = np.full((128,), 15.0, np.float32)
+    roll_cum = np.cumsum(np.full((128,), 3.0)).astype(np.float32)
+    v_end_rl = np.array([28.0, 25.0, 27.0, 26.0], np.float32)
+    common = dict(opp_stop_dist=jnp.float32(25.0),
+                  roll_vel=jnp.asarray(roll_vel),
+                  roll_cum=jnp.asarray(roll_cum))
+
+    out = vp.velocity_stage_scenario(
+        jnp.asarray(paths), jnp.asarray(n_valids), jnp.asarray(gg),
+        jnp.float32(vel_plan), jnp.float32(vel_plan), jnp.float32(vel_max),
+        jnp.asarray(MACHINES), jnp.float32(0.1), jnp.asarray(v_end_rl),
+        jnp.float32(obj_dist), jnp.float32(12.0), jnp.float32(30.0),
+        common["opp_stop_dist"], common["roll_vel"], common["roll_cum"],
+        jnp.float32(4.7), jnp.float32(1.25), jnp.float32(0.025),
+        jnp.float32(0.2), jnp.float32(15.0), 1.0, 0.85, 1000.0,
+        follow_slot=1)
+
+    for s in range(4):
+        ref = vp.velocity_kernel(
+            jnp.asarray(paths[s]), jnp.int32(int(n_valids[s])),
+            jnp.asarray(gg), jnp.zeros((P,), jnp.float32), jnp.int32(0),
+            jnp.float32(vel_plan), jnp.float32(vel_plan),
+            jnp.float32(vel_max), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, False,
+            jnp.float32(v_end_rl[s]), jnp.float32(obj_dist),
+            jnp.float32(12.0), jnp.float32(30.0), common["opp_stop_dist"],
+            common["roll_vel"], common["roll_cum"], jnp.float32(4.7),
+            jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
+            jnp.float32(15.0), 1.0, 0.85, 1000.0)
+        got, want = np.asarray(out["trajs"][s]), np.asarray(ref["traj"])
+        np.testing.assert_allclose(got[:, :6], want[:, :6],
+                                   rtol=1e-5, atol=1e-4,
+                                   err_msg=f"slot {s}")
+        # ax = dv^2/(2 ds) amplifies f32 rounding ~ 2 v / ds
+        np.testing.assert_allclose(got[:, 6], want[:, 6],
+                                   rtol=1e-4, atol=2e-3,
+                                   err_msg=f"slot {s} ax")
+        assert bool(out["vel_bound"][s]) == bool(ref["vel_bound"]), s
+        if s == 1:
+            assert bool(out["too_close"]) == bool(ref["too_close"])
+
+
 def test_fused_brake_prefix_matches(seed=2):
     """vel_plan above vel_max triggers the decel prefix; the assembled
     profile must start on the brake curve and hand off at vel_max.  Near-
