@@ -85,6 +85,22 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
     )
 
 
+def _select_obstacle(lat: Lattice, scen: Scenario):
+    """Closest object -> obstacle node (gen_local_node_template.py:164-213),
+    per scenario."""
+    obj_layer = col.object_layers(lat.refline, scen.obj_pos)
+    h_goal = lat.h_goal_for_start[scen.start_layer]
+    obs_idx, _, obs_found = col.closest_object(
+        obj_layer, scen.obj_active, scen.start_layer, h_goal, lat.L)
+    obs_layer = obj_layer[obs_idx]
+    d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
+                 axis=-1)
+    d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
+    obs_node = jnp.argmin(d2).astype(jnp.int32)
+    return dict(obs_idx=obs_idx, obs_layer=obs_layer, obs_node=obs_node,
+                obs_found=obs_found)
+
+
 def scenario_tick(lat: Lattice, scen: Scenario,
                   vel_max: float = 70.0,
                   gg_lim=(10.0, 10.0),
@@ -93,13 +109,19 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                   p_max: int = None,
                   dyn_model_exp: float = 1.0,
                   drag_coeff: float = 0.85,
-                  m_veh: float = 1000.0):
+                  m_veh: float = 1000.0,
+                  precomputed: dict = None):
     """One full action-set replan for a single scenario (jit/vmap-able).
 
     Action logic (steady-state subset of main_online_path_gen.py:124-174):
     an opponent in the horizon yields {follow, left, right}; a free track
     yields {straight}.  Returns dict(trajs (4, P, 7), valid (4,),
     cost (4,), h_eff (4,)).
+
+    :param precomputed: optional ``dict(obs=..., window=...)`` with the
+        obstacle selection and DP results already computed (the Pallas
+        batched path, :func:`make_batched_tick`); None computes them here
+        via the XLA scan kernel.
     """
     if machines is None:
         machines = jnp.array([[0.0, 5.0], [100.0, 5.0]], jnp.float32)
@@ -107,26 +129,22 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         p_max = int(np.ceil((lat.H_max * (lat.S - 1) + 1) / 64.0) * 64)
     L, N, H = lat.L, lat.N, lat.H_max
 
-    # closest object -> obstacle node (gen_local_node_template.py:164-213)
-    with jax.named_scope("gltpl.object_selection"):
-        obj_layer = col.object_layers(lat.refline, scen.obj_pos)
-        h_goal = lat.h_goal_for_start[scen.start_layer]
-        obs_idx, obs_dist, obs_found = col.closest_object(
-            obj_layer, scen.obj_active, scen.start_layer, h_goal, L)
-        obs_layer = obj_layer[obs_idx]
-        d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
-                     axis=-1)
-        d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
-        obs_node = jnp.argmin(d2).astype(jnp.int32)
-
-    zone_block = jnp.zeros((L, N), bool)
-    with jax.named_scope("gltpl.plan_window"):
-        out = pg.plan_window_kernel(
-            lat, scen.start_layer, scen.start_node, zone_block,
-            scen.obj_pos, scen.obj_radius, scen.obj_active,
-            obs_layer, obs_node, obs_found,
-            jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32),
-            n_last=2)
+    if precomputed is None:
+        with jax.named_scope("gltpl.object_selection"):
+            obs = _select_obstacle(lat, scen)
+        zone_block = jnp.zeros((L, N), bool)
+        with jax.named_scope("gltpl.plan_window"):
+            out = pg.plan_window_kernel(
+                lat, scen.start_layer, scen.start_node, zone_block,
+                scen.obj_pos, scen.obj_radius, scen.obj_active,
+                obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+                jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32),
+                n_last=2)
+    else:
+        obs = precomputed["obs"]
+        out = precomputed["window"]
+    obs_idx, obs_found = obs["obs_idx"], obs["obs_found"]
+    h_goal = out["h_goal"]
 
     feas = pg.feasibility_vectors(out["best"], out["vg"])     # (4, H+1)
 
@@ -194,14 +212,59 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                 n_valid=res_all["n_valid"])
 
 
-def make_batched_tick(lat: Lattice, **kw):
-    """vmap-over-scenarios tick, jitted once (single chip)."""
+def _batched_window(lat: Lattice, scen: Scenario):
+    """Batched obstacle selection + fused Pallas window DP + per-scenario
+    vg/window metadata — the TPU fast path for the search stage."""
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
+        fused_window_dp)
+    B = scen.start_layer.shape[0]
+    zone_block = jnp.zeros((lat.L, lat.N), bool)
+
+    obs = jax.vmap(lambda s: _select_obstacle(lat, s))(scen)
+    pre = jax.vmap(
+        lambda s, o: pg.window_prelude(
+            lat, s.start_layer, s.obj_pos, s.obj_radius, s.obj_active,
+            o["obs_layer"], o["obs_node"], o["obs_found"]))(scen, obs)
+    with jax.named_scope("gltpl.plan_window_pallas"):
+        best, bp = fused_window_dp(
+            lat.w, zone_block, scen.start_layer, scen.start_node,
+            pre["slab_layers"], pre["hit_slab"], pre["p_obs"],
+            pre["in_win"], obs["obs_node"],
+            jnp.full((B, 2), -1, jnp.int32), jnp.ones((1,), jnp.float32),
+            closed=bool(lat.closed), h_max=int(lat.H_max))
+    vg = jax.vmap(
+        lambda wl, p, iw, on: pg.window_vg(lat, wl, zone_block, p, iw, on))(
+        pre["win_layers"], pre["p_obs"], pre["in_win"], obs["obs_node"])
+    window = dict(best=best, bp=bp, vg=vg, win_layers=pre["win_layers"],
+                  h_goal=pre["h_goal"])
+    return obs, window
+
+
+def make_batched_tick(lat: Lattice, use_pallas: bool = None, **kw):
+    """vmap-over-scenarios tick, jitted once (single chip).
+
+    :param use_pallas: route the window DP through the fused Pallas kernel
+        (ops/pallas_window.py).  Default: on for TPU backends, off for CPU
+        (where the kernel would run in the slow interpreter)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
     def tick(scen):
+        # batch size is static at trace time: small batches stay on the XLA
+        # scan path (the Pallas kernel's grid overhead dominates below ~2
+        # blocks and single-replan latency matters for the 100 ms budget)
+        if use_pallas and scen.start_layer.shape[0] >= 64:
+            obs, window = _batched_window(lat, scen)
+            return jax.vmap(
+                lambda s, o, w: scenario_tick(
+                    lat, s, precomputed=dict(obs=o, window=w), **kw))(
+                scen, obs, window)
         return jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
     return jax.jit(tick)
 
 
-def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh, **kw):
+def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
+                      use_pallas: bool = None, **kw):
     """Mesh-sharded tick: scenarios data-parallel over the ``dp`` axis with
     fleet statistics reduced over ICI collectives (``pmin``/``psum``) —
     replacing what would be NCCL allreduce elsewhere (SURVEY.md section 5,
@@ -210,9 +273,19 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh, **kw):
     :returns: jitted fn scen(batch sharded over dp) ->
         (results with batch axis, stats dict of fleet reductions)
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
     def shard_body(scen):
         # runs per (dp, mp) shard; scen leaves carry the local dp slice
-        res = jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
+        if use_pallas:
+            obs, window = _batched_window(lat, scen)
+            res = jax.vmap(
+                lambda s, o, w: scenario_tick(
+                    lat, s, precomputed=dict(obs=o, window=w), **kw))(
+                scen, obs, window)
+        else:
+            res = jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
         # fleet statistics: genuine cross-device collectives over dp
         cost = jnp.where(res["valid"], res["cost"], jnp.inf)
         best_local = jnp.min(cost)

@@ -40,6 +40,55 @@ SLOT_STRAIGHT, SLOT_FOLLOW, SLOT_LEFT, SLOT_RIGHT = 0, 1, 2, 3
 N_SLOTS = 4
 
 
+def window_prelude(lat: Lattice, start_layer, obj_pos, obj_radius,
+                   obj_active, obs_layer, obs_node, obs_found):
+    """Per-scenario window/mask precomputation shared by the XLA scan DP
+    (:func:`plan_window_kernel`) and the Pallas fused DP
+    (ops/pallas_window.py): object slab hit masks, overtake split position,
+    window layers."""
+    L, N, H = lat.L, lat.N, lat.H_max
+    h_goal = lat.h_goal_for_start[start_layer]
+    win_layers = jnp.mod(start_layer + jnp.arange(H + 1), L)
+
+    obj_layer = col.object_layers(lat.refline, obj_pos)
+    fwd = col.layer_dist_mod(start_layer, obj_layer, L)
+    in_range = (fwd <= h_goal + 1) | (fwd >= L - 1)
+    obj_app = obj_active & in_range
+    ref2 = (obj_radius + lat.veh_width / 2.0) ** 2 \
+        + lat.sampled_resolution ** 2 / 4.0
+
+    # an object only affects edges starting in layers {obj_layer-1,
+    # obj_layer} (GraphBase.py:614-621): two (N, N, S) distance tests
+    slab_layers = jnp.stack([jnp.mod(obj_layer - 1, L), obj_layer], axis=1)
+    slab_samples = lat.samples_xy[slab_layers]          # (O, 2, N, N, S, 2)
+    d2_slab = jnp.sum(
+        (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
+    hit_slab = (jnp.min(d2_slab, axis=-1)
+                <= ref2[:, None, None, None]) \
+        & obj_app[:, None, None, None]                  # (O, 2, N, N)
+
+    p_obs = jnp.mod(obs_layer - start_layer, L)
+    in_win = obs_found & (p_obs <= H)
+    return dict(h_goal=h_goal, win_layers=win_layers,
+                slab_layers=slab_layers, hit_slab=hit_slab,
+                p_obs=p_obs, in_win=in_win)
+
+
+def window_vg(lat: Lattice, win_layers, zone_block, p_obs, in_win, obs_node):
+    """Per-slot virtual-goal cost vectors over the window (zone/overtake-
+    blocked nodes cannot be goals)."""
+    N, H = lat.N, lat.H_max
+    node_ids = jnp.arange(N)
+    blk_left = node_ids >= obs_node
+    blk_right = node_ids < obs_node
+    zb_win = zone_block[win_layers]
+    vg_win = jnp.where(zb_win, INF, lat.vg_cost[win_layers])   # (H+1, N)
+    at_obs = in_win & (jnp.arange(H + 1) == p_obs)[:, None]
+    return jnp.stack([vg_win, vg_win,
+                      jnp.where(at_obs & blk_left[None, :], INF, vg_win),
+                      jnp.where(at_obs & blk_right[None, :], INF, vg_win)])
+
+
 @partial(jax.jit, static_argnames=("n_last",))
 def plan_window_kernel(lat: Lattice,
                        start_layer,
@@ -67,33 +116,16 @@ def plan_window_kernel(lat: Lattice,
         ``vg (4, H+1, N)``, ``win_layers (H+1,)``, ``h_goal``.
     """
     L, N, H = lat.L, lat.N, lat.H_max
-    h_goal = lat.h_goal_for_start[start_layer]
-    win_layers = jnp.mod(start_layer + jnp.arange(H + 1), L)
     node_ids = jnp.arange(N)
 
-    # per-object precomputation
-    obj_layer = col.object_layers(lat.refline, obj_pos)
-    fwd = col.layer_dist_mod(start_layer, obj_layer, L)
-    in_range = (fwd <= h_goal + 1) | (fwd >= L - 1)
-    obj_app = obj_active & in_range
-    ref2 = (obj_radius + lat.veh_width / 2.0) ** 2 \
-        + lat.sampled_resolution ** 2 / 4.0
-
-    # per-object slab hit masks, computed ONCE: an object only affects edges
-    # starting in layers {obj_layer-1, obj_layer} (GraphBase.py:614-621), so
-    # two (N, N, S) distance tests per object suffice — the DP steps below
-    # merely select from these small masks instead of re-testing per layer
-    slab_layers = jnp.stack([jnp.mod(obj_layer - 1, L), obj_layer], axis=1)
-    slab_samples = lat.samples_xy[slab_layers]          # (O, 2, N, N, S, 2)
-    d2_slab = jnp.sum(
-        (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
-    hit_slab = (jnp.min(d2_slab, axis=-1)
-                <= ref2[:, None, None, None]) \
-        & obj_app[:, None, None, None]                  # (O, 2, N, N)
-
-    # overtake split position in the window
-    p_obs = jnp.mod(obs_layer - start_layer, L)
-    in_win = obs_found & (p_obs <= H)
+    pre = window_prelude(lat, start_layer, obj_pos, obj_radius, obj_active,
+                         obs_layer, obs_node, obs_found)
+    h_goal = pre["h_goal"]
+    win_layers = pre["win_layers"]
+    slab_layers = pre["slab_layers"]
+    hit_slab = pre["hit_slab"]
+    p_obs = pre["p_obs"]
+    in_win = pre["in_win"]
     blk_left = node_ids >= obs_node            # (N,) blocked for 'left'
     blk_right = node_ids < obs_node
 
@@ -144,13 +176,7 @@ def plan_window_kernel(lat: Lattice,
                          axis=0)
     bp = jnp.moveaxis(bp, 1, 0)
 
-    # virtual-goal costs per slot
-    zb_win = zone_block[win_layers]
-    vg_win = jnp.where(zb_win, INF, lat.vg_cost[win_layers])   # (H+1, N)
-    at_obs = in_win & (jnp.arange(H + 1) == p_obs)[:, None]
-    vg_all = jnp.stack([vg_win, vg_win,
-                        jnp.where(at_obs & blk_left[None, :], INF, vg_win),
-                        jnp.where(at_obs & blk_right[None, :], INF, vg_win)])
+    vg_all = window_vg(lat, win_layers, zone_block, p_obs, in_win, obs_node)
     return dict(best=best, bp=bp, vg=vg_all, win_layers=win_layers,
                 h_goal=h_goal)
 
