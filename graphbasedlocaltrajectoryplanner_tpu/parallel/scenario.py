@@ -212,23 +212,40 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                 n_valid=res_all["n_valid"])
 
 
-def _batched_window(lat: Lattice, scen: Scenario):
+def _batched_window(lat: Lattice, scen: Scenario, samples_t=None):
     """Batched obstacle selection + fused Pallas window DP + per-scenario
-    vg/window metadata — the TPU fast path for the search stage."""
+    vg/window metadata — the TPU fast path for the search stage.
+
+    :param samples_t: pre-transposed sample table (pallas_collision.
+        build_samples_t), routing the slab hit masks through the streaming
+        Pallas kernel; None falls back to the XLA gather formulation."""
     from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
         fused_window_dp)
     B = scen.start_layer.shape[0]
     zone_block = jnp.zeros((lat.L, lat.N), bool)
 
     obs = jax.vmap(lambda s: _select_obstacle(lat, s))(scen)
-    pre = jax.vmap(
-        lambda s, o: pg.window_prelude(
-            lat, s.start_layer, s.obj_pos, s.obj_radius, s.obj_active,
-            o["obs_layer"], o["obs_node"], o["obs_found"]))(scen, obs)
+    if samples_t is not None:
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision \
+            import hit_slab_pallas
+        pre = jax.vmap(
+            lambda s, o: pg.window_meta(
+                lat, s.start_layer, s.obj_pos, s.obj_radius, s.obj_active,
+                o["obs_layer"], o["obs_node"], o["obs_found"]))(scen, obs)
+        with jax.named_scope("gltpl.hit_slab_pallas"):
+            hit_slab = hit_slab_pallas(
+                samples_t, pre["slab_layers"], scen.obj_pos,
+                pre["ref2"], pre["obj_app"])
+    else:
+        pre = jax.vmap(
+            lambda s, o: pg.window_prelude(
+                lat, s.start_layer, s.obj_pos, s.obj_radius, s.obj_active,
+                o["obs_layer"], o["obs_node"], o["obs_found"]))(scen, obs)
+        hit_slab = pre["hit_slab"]
     with jax.named_scope("gltpl.plan_window_pallas"):
         best, bp = fused_window_dp(
             lat.w, zone_block, scen.start_layer, scen.start_node,
-            pre["slab_layers"], pre["hit_slab"], pre["p_obs"],
+            pre["slab_layers"], hit_slab, pre["p_obs"],
             pre["in_win"], obs["obs_node"],
             jnp.full((B, 2), -1, jnp.int32), jnp.ones((1,), jnp.float32),
             closed=bool(lat.closed), h_max=int(lat.H_max))
@@ -248,13 +265,18 @@ def make_batched_tick(lat: Lattice, use_pallas: bool = None, **kw):
         (where the kernel would run in the slow interpreter)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    samples_t = None
+    if use_pallas:
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision \
+            import build_samples_t
+        samples_t = build_samples_t(lat.samples_xy)
 
     def tick(scen):
         # batch size is static at trace time: small batches stay on the XLA
         # scan path (the Pallas kernel's grid overhead dominates below ~2
         # blocks and single-replan latency matters for the 100 ms budget)
         if use_pallas and scen.start_layer.shape[0] >= 64:
-            obs, window = _batched_window(lat, scen)
+            obs, window = _batched_window(lat, scen, samples_t)
             return jax.vmap(
                 lambda s, o, w: scenario_tick(
                     lat, s, precomputed=dict(obs=o, window=w), **kw))(
@@ -275,11 +297,16 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    samples_t = None
+    if use_pallas:
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision \
+            import build_samples_t
+        samples_t = build_samples_t(lat.samples_xy)
 
     def shard_body(scen):
         # runs per (dp, mp) shard; scen leaves carry the local dp slice
         if use_pallas:
-            obs, window = _batched_window(lat, scen)
+            obs, window = _batched_window(lat, scen, samples_t)
             res = jax.vmap(
                 lambda s, o, w: scenario_tick(
                     lat, s, precomputed=dict(obs=o, window=w), **kw))(

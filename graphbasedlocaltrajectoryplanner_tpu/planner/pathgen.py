@@ -40,11 +40,11 @@ SLOT_STRAIGHT, SLOT_FOLLOW, SLOT_LEFT, SLOT_RIGHT = 0, 1, 2, 3
 N_SLOTS = 4
 
 
-def window_prelude(lat: Lattice, start_layer, obj_pos, obj_radius,
-                   obj_active, obs_layer, obs_node, obs_found):
-    """Per-scenario window/mask precomputation shared by the XLA scan DP
-    (:func:`plan_window_kernel`) and the Pallas fused DP
-    (ops/pallas_window.py): object slab hit masks, overtake split position,
+def window_meta(lat: Lattice, start_layer, obj_pos, obj_radius,
+                obj_active, obs_layer, obs_node, obs_found):
+    """Per-scenario window metadata (everything in :func:`window_prelude`
+    except the slab hit masks themselves): object applicability + inflated
+    radii for the hit test, slab layer indices, overtake split position,
     window layers."""
     L, N, H = lat.L, lat.N, lat.H_max
     h_goal = lat.h_goal_for_start[start_layer]
@@ -58,20 +58,33 @@ def window_prelude(lat: Lattice, start_layer, obj_pos, obj_radius,
         + lat.sampled_resolution ** 2 / 4.0
 
     # an object only affects edges starting in layers {obj_layer-1,
-    # obj_layer} (GraphBase.py:614-621): two (N, N, S) distance tests
+    # obj_layer} (GraphBase.py:614-621)
     slab_layers = jnp.stack([jnp.mod(obj_layer - 1, L), obj_layer], axis=1)
-    slab_samples = lat.samples_xy[slab_layers]          # (O, 2, N, N, S, 2)
-    d2_slab = jnp.sum(
-        (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
-    hit_slab = (jnp.min(d2_slab, axis=-1)
-                <= ref2[:, None, None, None]) \
-        & obj_app[:, None, None, None]                  # (O, 2, N, N)
-
     p_obs = jnp.mod(obs_layer - start_layer, L)
     in_win = obs_found & (p_obs <= H)
     return dict(h_goal=h_goal, win_layers=win_layers,
-                slab_layers=slab_layers, hit_slab=hit_slab,
+                slab_layers=slab_layers, obj_app=obj_app, ref2=ref2,
                 p_obs=p_obs, in_win=in_win)
+
+
+def window_prelude(lat: Lattice, start_layer, obj_pos, obj_radius,
+                   obj_active, obs_layer, obs_node, obs_found):
+    """Per-scenario window/mask precomputation shared by the XLA scan DP
+    (:func:`plan_window_kernel`) and the Pallas fused DP
+    (ops/pallas_window.py): object slab hit masks, overtake split position,
+    window layers.  (The batched engine computes the hit masks with the
+    streaming Pallas kernel ops/pallas_collision.py instead — identical
+    numerics, pinned in tests/test_pallas_collision.py.)"""
+    pre = window_meta(lat, start_layer, obj_pos, obj_radius, obj_active,
+                      obs_layer, obs_node, obs_found)
+    # two (N, N, S) distance tests per object
+    slab_samples = lat.samples_xy[pre["slab_layers"]]   # (O, 2, N, N, S, 2)
+    d2_slab = jnp.sum(
+        (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
+    pre["hit_slab"] = (jnp.min(d2_slab, axis=-1)
+                       <= pre["ref2"][:, None, None, None]) \
+        & pre["obj_app"][:, None, None, None]           # (O, 2, N, N)
+    return pre
 
 
 def window_vg(lat: Lattice, win_layers, zone_block, p_obs, in_win, obs_node):
