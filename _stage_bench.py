@@ -1,17 +1,27 @@
-import os, time, json
+"""Devtool: per-stage timing of the batched scenario tick (companion to
+profile_tick.py).  NOTE: asm_only below intentionally simplifies the
+production slot logic (omits the left/right h_lr feasibility gating of
+scenario.py) — it isolates backtrace+assembly cost, it is not the product
+path.  Use bench.py for end-to-end numbers."""
+import argparse
+import os
+import time
+
 import numpy as np
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/root/repo/artifacts/jax_cache")
+
+TOP = os.path.dirname(os.path.abspath(__file__))
+jax.config.update("jax_compilation_cache_dir", os.path.join(TOP, "artifacts/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from graphbasedlocaltrajectoryplanner_tpu.models.lattice import load_lattice
 from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
-from graphbasedlocaltrajectoryplanner_tpu.planner import velplan as vp
-from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision import build_samples_t, hit_slab_pallas
 from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import fused_window_dp
 
-lat = load_lattice("/root/repo/artifacts/monteblanco_lattice.npz")
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--lattice", default=os.path.join(TOP, "artifacts/monteblanco_lattice.npz"))
+lat = load_lattice(_ap.parse_args().lattice)
 B = 1024
 scen = sc.random_scenarios(lat, batch=B, seed=0, n_objects=1)
 samples_t = build_samples_t(lat.samples_xy)

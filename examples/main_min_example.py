@@ -12,8 +12,6 @@ synthetic track is used, so no data files are required.  Any reference-format
 """
 
 import argparse
-import configparser
-import json
 import os
 import sys
 import time
@@ -26,9 +24,7 @@ sys.path.insert(0, TOP)
 from graphbasedlocaltrajectoryplanner_tpu.planner.facade import GraphLTPL
 from graphbasedlocaltrajectoryplanner_tpu.models.track import (
     import_globtraj_csv, make_oval_track)
-from graphbasedlocaltrajectoryplanner_tpu.models import lattice as latmod
-from graphbasedlocaltrajectoryplanner_tpu.utils.config import (OfflineConfig,
-                                                               read_track_name)
+from graphbasedlocaltrajectoryplanner_tpu.utils.config import read_track_name
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import vdc_dummy
 
 
@@ -58,28 +54,11 @@ def main():
         "ltpl_online_param_path": TOP + "/params/ltpl_config_online.ini",
     }
 
-    if csv_path is None:
-        # synthetic track: build the lattice directly, bypass the csv loader
-        from graphbasedlocaltrajectoryplanner_tpu.utils.config import md5_file
-        cfg = OfflineConfig.from_ini(path_dict["ltpl_offline_param_path"])
-        lat = latmod.build_lattice(gt, cfg, md5_params="oval", graph_id="oval")
-        latmod.save_lattice(lat, path_dict["graph_store_path"])
-        # the facade's md5 check would rebuild; monkey-route via store match
-        ltpl = GraphLTPL(path_dict, visual_mode=args.visual, log_to_file=False)
-        ltpl._lat = lat
-        from graphbasedlocaltrajectoryplanner_tpu.planner.handler import OnlineHandler
-        ltpl._oth = OnlineHandler(lat, ltpl._online_cfg)
-        ltpl._obj_list_handler.set_track_data(
-            np.asarray(lat.refline), np.asarray(lat.normvec),
-            np.asarray(lat.track_width_left), np.asarray(lat.track_width_right))
-        if args.visual:
-            from graphbasedlocaltrajectoryplanner_tpu.visualization.plot_handler \
-                import PlotHandler
-            ltpl._plot_handler = PlotHandler("Local Trajectory - Online Graph")
-            ltpl._plot_handler.plot_lattice(lat)
-    else:
-        ltpl = GraphLTPL(path_dict, visual_mode=args.visual, log_to_file=False)
-        ltpl.graph_init()
+    # "oval" (and GlobalTrajectory instances) are first-class inputs of the
+    # facade — the lattice builder caches synthetic tracks by data hash just
+    # like CSV tracks (models/lattice.load_or_build).
+    ltpl = GraphLTPL(path_dict, visual_mode=args.visual, log_to_file=False)
+    ltpl.graph_init()
 
     # start pose from the first reference-line point
     refline = gt.refline

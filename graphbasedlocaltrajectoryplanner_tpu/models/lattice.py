@@ -40,6 +40,10 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import splines as spl
 from graphbasedlocaltrajectoryplanner_tpu.ops.heading import normalize_psi
 from graphbasedlocaltrajectoryplanner_tpu.ops.search import INF
 
+# virt_goal_n=False goal-scan rank scale: dominates every real path cost
+# (< ~1e7 on shipped tracks) while N * SCALE stays far below FEAS_THRESH.
+GOAL_RANK_SCALE = 1e12
+
 LOG = logging.getLogger("local_trajectory_logger")
 
 VERSION = 1.0
@@ -365,9 +369,22 @@ def build_lattice(gt: GlobalTrajectory, cfg: OfflineConfig,
     valid = _prune(valid, closed)
     w = _offline_cost(valid, kappa_s, n_pts, edge_len, rl_idx, cfg)
 
-    # virtual goal cost (GraphBase.add_node:188)
-    vg = np.abs(rl_idx[:, None] - np.arange(N)[None, :]) \
-        * cfg.lat_resolution * cfg.w_virt_goal
+    # virtual goal cost (GraphBase.add_node:188).  With virt_goal_n=False the
+    # reference instead scans goal nodes iteratively — raceline node first,
+    # then decreasing indices to 0, then increasing (GraphBase.
+    # search_graph_layer:897-927) — and keeps the FIRST feasible one.  That
+    # order is a total rank per node, so "first feasible in scan order"
+    # == argmin(best + rank * BIG) with BIG >> any path cost: the selection
+    # stays a single weighted argmin over the DP frontier.  (Reported path
+    # cost then includes the rank bias; the reference never propagates the
+    # search cost either, see GraphBase.search_graph return contract.)
+    n_ar = np.arange(N)[None, :]
+    if cfg.virt_goal_n:
+        vg = np.abs(rl_idx[:, None] - n_ar) \
+            * cfg.lat_resolution * cfg.w_virt_goal
+    else:
+        rank = np.where(n_ar <= rl_idx[:, None], rl_idx[:, None] - n_ar, n_ar)
+        vg = rank.astype(np.float64) * GOAL_RANK_SCALE
     vg_cost = np.where(node_valid, vg, float(INF)).astype(np.float32)
 
     # planning horizon tables (gen_local_node_template.py:101-147)
@@ -473,18 +490,41 @@ def load_lattice(path: str) -> Optional[Lattice]:
     return Lattice(**kwargs)
 
 
-def load_or_build(globtraj_path: str, cfg_path: str, store_path: str,
+def load_or_build(globtraj, cfg_path: str, store_path: str,
                   force_recalc: bool = False, graph_id: str = "tpu0"):
-    """md5-keyed load-or-rebuild (main_offline_callback.py:56-74)."""
+    """md5-keyed load-or-rebuild (main_offline_callback.py:56-74).
+
+    ``globtraj`` may be a CSV path, the name of a built-in synthetic track
+    (currently ``"oval"``), or a :class:`GlobalTrajectory` instance — the
+    cache key covers the track data in every case, so synthetic tracks are
+    first-class citizens of the facade (no CSV file required).
+    """
+    import hashlib
+
+    from graphbasedlocaltrajectoryplanner_tpu.models.track import (
+        GlobalTrajectory, make_oval_track)
     from graphbasedlocaltrajectoryplanner_tpu.utils.config import md5_file
-    md5 = md5_file(globtraj_path) + md5_file(cfg_path)
+
+    gt = None
+    if isinstance(globtraj, GlobalTrajectory):
+        gt = globtraj
+    elif globtraj == "oval":
+        gt = make_oval_track()
+    if gt is not None:
+        h = hashlib.md5()
+        for f in dataclasses.fields(gt):
+            h.update(np.ascontiguousarray(getattr(gt, f.name)).tobytes())
+        md5 = h.hexdigest() + md5_file(cfg_path)
+    else:
+        md5 = md5_file(globtraj) + md5_file(cfg_path)
     if not force_recalc:
         lat = load_lattice(store_path)
         if lat is not None and lat.md5_params == md5:
             LOG.debug("loaded lattice from %s", store_path)
             return lat, False
     cfg = OfflineConfig.from_ini(cfg_path)
-    gt = import_globtraj_csv(globtraj_path)
+    if gt is None:
+        gt = import_globtraj_csv(globtraj)
     lat = build_lattice(gt, cfg, md5_params=md5, graph_id=graph_id)
     save_lattice(lat, store_path)
     return lat, True

@@ -248,19 +248,27 @@ def calc_ax_profile(vx_profile: jnp.ndarray, el_lengths: jnp.ndarray):
 
 def conv_filt(signal: jnp.ndarray, filt_window: int):
     """Unclosed moving-average filter (tph ``conv_filt(closed=False)``):
-    interior points averaged over the odd window, edges kept asymmetric with
-    progressively smaller windows.  ``filt_window`` is static."""
+    interior points ``[half, n-half)`` averaged over the odd window; edge
+    points ``i in [1, half)`` (and mirrored at the end) averaged over the
+    largest centered window that fits (width ``2i+1``); the very first and
+    last samples stay raw.  ``filt_window`` is static and must be odd
+    (matches tph's ValueError for even windows)."""
     if filt_window <= 1:
         return signal
     w = int(filt_window)
+    if w % 2 == 0:
+        raise ValueError("filt_window must be odd")
     half = w // 2
     kernel = jnp.ones((w,)) / w
     mid = jnp.convolve(signal, kernel, mode='same')
-    out = signal
     n = signal.shape[0]
     idx = jnp.arange(n)
     interior = (idx >= half) & (idx < n - half)
-    return jnp.where(interior, mid, signal)
+    out = jnp.where(interior, mid, signal)
+    for i in range(1, half):
+        out = out.at[i].set(jnp.mean(signal[:2 * i + 1]))
+        out = out.at[n - 1 - i].set(jnp.mean(signal[n - 1 - 2 * i:]))
+    return out
 
 
 def follow_control_vel(control_params: dict,

@@ -91,6 +91,9 @@ class OnlineConfig:
     # GENERAL
     cost_dep_color: bool = False
     log_follow_mode: bool = True
+    # VESTIGIAL: declared in the reference INI (ltpl_config_online.ini:10)
+    # but never read by any reference code path — parsed here only for INI
+    # compatibility, intentionally unused.
     max_pos_offset: float = 16.0
     max_heading_offset: float = 0.8
     # VP
@@ -113,6 +116,9 @@ class OnlineConfig:
     # COST
     w_last_edges: tuple = (0.0, 0.5, 0.8)
     # OBJECTS
+    # VESTIGIAL: declared in the reference INI (ltpl_config_online.ini:76)
+    # but never read by any reference code path — parsed here only for INI
+    # compatibility, intentionally unused.
     zone_opp_width: float = 5.0
     # EXPORT
     nmbr_export_points: int = 115

@@ -94,3 +94,43 @@ def test_backtrace_path_consistency():
         # every consecutive pair is a real edge
         for h in range(h_eff):
             assert w[h, nodes[h], nodes[h + 1]] < 1e29
+
+
+def _iterative_goal_scan_np(feasible_nodes, rl_idx, n_nodes):
+    """Scalar golden for GraphBase.search_graph_layer:897-927 with
+    virt_goal_n=False: scan raceline node, then decreasing indices to 0,
+    then increasing; return first feasible node (or -1)."""
+    order = list(range(rl_idx, -1, -1)) + list(range(rl_idx + 1, n_nodes))
+    for n in order:
+        if feasible_nodes[n]:
+            return n
+    return -1
+
+
+def test_virt_goal_n_false_rank_selection():
+    """The rank-scaled vg_cost used for virt_goal_n=False reproduces the
+    reference's iterative goal scan exactly (models/lattice.py vg branch)."""
+    from graphbasedlocaltrajectoryplanner_tpu.models.lattice import (
+        GOAL_RANK_SCALE)
+
+    N, H = 9, 5
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        rl = int(rng.integers(0, N))
+        n_ar = np.arange(N)
+        rank = np.where(n_ar <= rl, rl - n_ar, n_ar)
+        # random node validity at the goal layer (sometimes raceline blocked)
+        valid = rng.uniform(size=N) < 0.6
+        vg_row = np.where(valid, rank * GOAL_RANK_SCALE, INF).astype(np.float32)
+        vg = np.full((H + 1, N), INF, np.float32)
+        vg[H] = vg_row
+        # fully connected window so DP reaches every valid goal node
+        w = rng.uniform(1.0, 10.0, (H, N, N)).astype(np.float32)
+        out = srch.search_window(jnp.array(w), 0, jnp.array(vg), H,
+                                 shrink_horizon=False)
+        want = _iterative_goal_scan_np(valid, rl, N)
+        if want < 0:
+            assert not bool(out["feasible"])
+        else:
+            assert bool(out["feasible"])
+            assert int(out["goal_node"]) == want, (trial, rl, valid)

@@ -120,6 +120,31 @@ def test_ax_profile_and_convfilt():
     assert f[0] == 0.0 and f[-1] == 9.0  # edges kept
 
 
+def _conv_filt_tph_np(signal, filt_window):
+    """Scalar golden: tph.conv_filt(closed=False) semantics (tph v0.75)."""
+    half = (filt_window - 1) // 2
+    out = np.copy(signal)
+    out[half:-half] = np.convolve(
+        signal, np.ones(filt_window) / filt_window, mode="same")[half:-half]
+    for i in range(1, half):
+        out[i] = np.mean(signal[: i * 2 + 1])
+        out[-i - 1] = np.mean(signal[-i * 2 - 1:])
+    return out
+
+
+def test_conv_filt_edges_match_tph():
+    rng = np.random.default_rng(42)
+    sig = rng.normal(size=31).astype(np.float64) * 5.0 + 20.0
+    for w in (3, 5, 7):
+        got = np.asarray(vel.conv_filt(jnp.array(sig), w))
+        want = _conv_filt_tph_np(sig, w)
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"window={w}")
+    import pytest
+    with pytest.raises(ValueError):
+        vel.conv_filt(jnp.array(sig), 4)
+
+
 def test_follow_mode_basic():
     kappa, el, gg, machines = _track(seed=6)
     ctrl = {"c_p": 1.25, "k_d": 0.025, "k_p": 0.2}
