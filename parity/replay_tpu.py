@@ -1,0 +1,169 @@
+"""Replay a recorded reference run (parity/run_reference.py fixture) through
+the TPU framework and measure per-tick trajectory deviation.
+
+Both stacks see identical inputs: the reference's recorded pos/vel estimate
+stream, the same action-selection sequence, the reference INI configs, and
+the same deterministic clock (time.time faked, +0.1 s per tick) so the
+calc-time feedback loops produce identical constant-path splits.
+
+Deviation metric (the BASELINE north star is 2 cm / 0.1 m/s): for every tick
+and every action present in both sets, the TPU trajectory is interpolated at
+the reference trajectory's relative arc-length stations over the common
+s-range; reported are the max euclidean position deviation and max velocity
+deviation.
+
+Run as a script for a full report, or call :func:`replay` from tests.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TOP = os.path.dirname(HERE)
+REF = "/root/reference"
+sys.path.insert(0, TOP)
+
+TICK_DT = 0.1
+
+
+class FakeClock:
+    def __init__(self, t0=1_000_000.0):
+        self.t = t0
+
+    def time(self):
+        return self.t
+
+    def advance(self, dt):
+        self.t += dt
+
+
+def compare_traj(ref_traj, tpu_traj):
+    """Max position [m] / velocity [m/s] deviation, TPU interpolated at the
+    reference's relative-s stations over the common arc-length range."""
+    s_ref = ref_traj[:, 0] - ref_traj[0, 0]
+    s_tpu = tpu_traj[:, 0] - tpu_traj[0, 0]
+    s_max = min(s_ref[-1], s_tpu[-1])
+    m = s_ref <= s_max + 1e-9
+    s_q = s_ref[m]
+    x = np.interp(s_q, s_tpu, tpu_traj[:, 1])
+    y = np.interp(s_q, s_tpu, tpu_traj[:, 2])
+    v = np.interp(s_q, s_tpu, tpu_traj[:, 5])
+    d_pos = np.hypot(x - ref_traj[m, 1], y - ref_traj[m, 2])
+    d_vel = np.abs(v - ref_traj[m, 5])
+    return float(np.max(d_pos)), float(np.max(d_vel))
+
+
+def replay(fixture_path, ticks=None, verbose=False):
+    fix = np.load(fixture_path)
+    n_ticks = int(fix["ticks"]) if ticks is None else ticks
+    track = fix["track"].item().decode()
+
+    clock = FakeClock()
+    real_time = time.time
+    time.time = clock.time
+    try:
+        from graphbasedlocaltrajectoryplanner_tpu.planner.facade import (
+            GraphLTPL)
+
+        path_dict = {
+            "globtraj_input_path": REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
+            + track + ".csv",
+            "graph_store_path": os.path.join(TOP, "artifacts",
+                                             f"parity_lattice_{track}.npz"),
+            "ltpl_offline_param_path": REF + "/params/ltpl_config_offline.ini",
+            "ltpl_online_param_path": REF + "/params/ltpl_config_online.ini",
+        }
+        ltpl = GraphLTPL(path_dict, visual_mode=False, log_to_file=False)
+        ltpl.graph_init()
+
+        refline = np.loadtxt(path_dict["globtraj_input_path"],
+                             comments="#", delimiter=";")[:, 0:2]
+        pos_est = refline[0, :]
+        heading_est = float(np.arctan2(refline[1, 1] - refline[0, 1],
+                                       refline[1, 0] - refline[0, 0])
+                            - np.pi / 2)
+        ltpl.set_startpos(pos_est=pos_est, heading_est=heading_est)
+
+        with_objects = any(k.endswith("_obj") for k in fix.files)
+        zones = None
+        if with_objects:
+            # the std-example blocked zone (main_std_example.py:90-93),
+            # identical to parity/run_reference.py --objects
+            zones = {"sample_zone": [
+                [64, 64, 64, 64, 64, 64, 64, 65, 65, 65, 65, 65, 65, 65,
+                 66, 66, 66, 66, 66, 66, 66],
+                [0, 1, 2, 3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6,
+                 0, 1, 2, 3, 4, 5, 6],
+                np.array([[-20.54, 227.56], [23.80, 186.64]]),
+                np.array([[-23.80, 224.06], [20.17, 183.60]])]}
+
+        rows = []  # per (tick, action): d_pos, d_vel
+        missing, extra = [], []
+        for tick in range(n_ticks):
+            sel = fix[f"t{tick:04d}_sel"].item().decode()
+            obj_list = []
+            okey = f"t{tick:04d}_obj"
+            if okey in fix.files:
+                obj_list = [{"X": r[0], "Y": r[1], "theta": r[2],
+                             "v": r[3], "length": r[4], "id": int(r[5]),
+                             "type": "physical"} for r in fix[okey]]
+            ltpl.calc_paths(prev_action_id=sel, object_list=obj_list,
+                            blocked_zones=zones)
+            pos = fix[f"t{tick:04d}_pos"]
+            vel = float(fix[f"t{tick:04d}_vel"])
+            traj_set = ltpl.calc_vel_profile(pos_est=pos, vel_est=vel)[0]
+
+            ref_actions = {k.split("_a_")[1] for k in fix.files
+                           if k.startswith(f"t{tick:04d}_a_")}
+            tpu_actions = set(traj_set.keys())
+            for a in sorted(ref_actions - tpu_actions):
+                missing.append((tick, a))
+            for a in sorted(tpu_actions - ref_actions):
+                extra.append((tick, a))
+            for a in sorted(ref_actions & tpu_actions):
+                d_pos, d_vel = compare_traj(fix[f"t{tick:04d}_a_{a}"],
+                                            np.asarray(traj_set[a][0], float))
+                rows.append((tick, a, d_pos, d_vel))
+                if verbose and tick % 25 == 0:
+                    print(f"tick {tick:4d} {a:9s} d_pos={d_pos*100:7.2f} cm  "
+                          f"d_vel={d_vel:6.3f} m/s")
+            clock.advance(TICK_DT)
+    finally:
+        time.time = real_time
+
+    d_pos_all = np.array([r[2] for r in rows])
+    d_vel_all = np.array([r[3] for r in rows])
+    report = {
+        "fixture": os.path.basename(str(fixture_path)),
+        "ticks": n_ticks,
+        "pairs_compared": len(rows),
+        "actions_missing_in_tpu": missing,
+        "actions_extra_in_tpu": extra,
+        "max_d_pos_m": float(np.max(d_pos_all)),
+        "p99_d_pos_m": float(np.percentile(d_pos_all, 99)),
+        "mean_d_pos_m": float(np.mean(d_pos_all)),
+        "max_d_vel_mps": float(np.max(d_vel_all)),
+        "p99_d_vel_mps": float(np.percentile(d_vel_all, 99)),
+        "worst_tick": int(rows[int(np.argmax(d_pos_all))][0]),
+    }
+    return report, rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture",
+                    default=os.path.join(HERE, "fixtures",
+                                         "ref_monteblanco_200.npz"))
+    ap.add_argument("--ticks", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", default=True)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    rep, _ = replay(args.fixture, ticks=args.ticks, verbose=True)
+    print(json.dumps(rep, indent=2, default=str))
