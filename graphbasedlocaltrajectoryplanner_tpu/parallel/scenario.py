@@ -33,12 +33,32 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import velocity as velops
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 
 O_PAD = 4
+# constant-path-segment pad length: t_const <= 0.5 s at <= 100 m/s over a
+# ~2.5 m sampling step is < 21 points; 32 leaves headroom (OTH:374-378)
+C_PAD = 32
+# w_last_edges window chain length (3 factors + terminal node; handler.N_LAST)
+N_LAST = 4
+# output action slots (emergency appended to the 4 search slots)
+SLOT_EMERGENCY = 4
+N_OUT = 5
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Scenario:
-    """Per-scenario planning inputs (pytree; batch by stacking leaves)."""
+    """Per-scenario planning inputs (pytree; batch by stacking leaves).
+
+    The constant-path fields carry the warm-start state of the reference's
+    per-tick loop (OTH:351-414): ``const_path`` is the exclusive prefix of
+    the previously planned trajectory from the cut position up to (not
+    including) the plan start node, with the seam element length patched to
+    reach the start node (OTH:429-473 reassembly); ``last_nodes`` is the
+    previous solution's window node chain used for the ``w_last_edges``
+    discount; ``last_action_lr`` is the previously selected action when it
+    was an overtake (SLOT_LEFT / SLOT_RIGHT, else -1) for the
+    ongoing-overtake branch of the action-set decision tree
+    (main_online_path_gen.py:128-142).
+    """
     start_layer: jnp.ndarray     # int32
     start_node: jnp.ndarray      # int32
     vel_plan: jnp.ndarray        # f32 — current planned velocity
@@ -47,12 +67,24 @@ class Scenario:
     obj_radius: jnp.ndarray      # (O_PAD,)
     obj_vel: jnp.ndarray         # (O_PAD,)
     obj_active: jnp.ndarray      # (O_PAD,) bool
+    pos_est: jnp.ndarray         # (2,) f32 ego position (cut point)
+    const_path: jnp.ndarray      # (C_PAD, 5) f32 [x y psi kappa el]
+    const_n: jnp.ndarray         # int32 — valid const rows (0 = none)
+    last_nodes: jnp.ndarray      # (N_LAST,) int32 window node chain (-1 pad)
+    last_action_lr: jnp.ndarray  # int32 — SLOT_LEFT/SLOT_RIGHT or -1
 
 
 def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
-                     n_objects: int = 1, vel: float = 30.0) -> Scenario:
+                     n_objects: int = 1, vel: float = 30.0,
+                     steady_state: bool = True) -> Scenario:
     """Generate a batch of scenarios: ego on random raceline layers, the
-    opponents on random on-track nodes ahead."""
+    opponents on random on-track nodes ahead.
+
+    ``steady_state=True`` fills the warm-start state the way a running
+    planner would (const-path prefix = tail of the raceline edge into the
+    start node, previous-solution chain on the raceline) so benchmarks
+    measure the full-semantics tick including const-path splicing and the
+    w_last discount."""
     rng = np.random.default_rng(seed)
     L = lat.L
     rl = np.asarray(lat.rl_idx)
@@ -73,6 +105,32 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
             obj_rad[b, k] = 2.5
             obj_vel[b, k] = vel * 0.5
             obj_act[b, k] = True
+
+    pos_est = node_pos[start_layer, start_node].astype(np.float32)
+    const_path = np.zeros((batch, C_PAD, 5), np.float32)
+    const_n = np.zeros(batch, np.int32)
+    last_nodes = np.full((batch, N_LAST), -1, np.int32)
+    last_lr = np.full(batch, -1, np.int32)
+    if steady_state:
+        samples = np.asarray(lat.samples_xy)        # (L, N, N, S, 2)
+        S = lat.S
+        prev_layer = (start_layer - 1) % L
+        n_const = min(C_PAD, max(2, S // 2))
+        for b in range(batch):
+            pl_, sn = int(prev_layer[b]), int(start_node[b])
+            pn = int(rl[pl_])
+            pts = samples[pl_, pn, sn]              # (S, 2) prev rl edge
+            seg = pts[S - n_const:]                 # last points incl. node
+            el = np.hypot(*(np.diff(seg, axis=0).T))
+            # exclusive prefix: rows up to (not incl.) the start node; the
+            # final row's el is the seam to the start node (OTH reassembly)
+            const_path[b, :n_const - 1, 0:2] = seg[:-1]
+            const_path[b, :n_const - 1, 4] = el
+            const_n[b] = n_const - 1
+            pos_est[b] = seg[0]
+            # previous solution ahead on the raceline
+            for i in range(N_LAST):
+                last_nodes[b, i] = rl[(start_layer[b] + i) % L]
     return Scenario(
         start_layer=jnp.asarray(start_layer),
         start_node=jnp.asarray(start_node),
@@ -82,6 +140,11 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
         obj_radius=jnp.asarray(obj_rad),
         obj_vel=jnp.asarray(obj_vel),
         obj_active=jnp.asarray(obj_act),
+        pos_est=jnp.asarray(pos_est),
+        const_path=jnp.asarray(const_path),
+        const_n=jnp.asarray(const_n),
+        last_nodes=jnp.asarray(last_nodes),
+        last_action_lr=jnp.asarray(last_lr),
     )
 
 
@@ -110,13 +173,30 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                   dyn_model_exp: float = 1.0,
                   drag_coeff: float = 0.85,
                   m_veh: float = 1000.0,
+                  zone_block: jnp.ndarray = None,
+                  w_last_factors: jnp.ndarray = None,
+                  incl_emergency: bool = True,
                   precomputed: dict = None):
     """One full action-set replan for a single scenario (jit/vmap-able).
 
-    Action logic (steady-state subset of main_online_path_gen.py:124-174):
-    an opponent in the horizon yields {follow, left, right}; a free track
-    yields {straight}.  Returns dict(trajs (4, P, 7), valid (4,),
-    cost (4,), h_eff (4,)).
+    Implements the reference's complete per-tick semantics in-graph:
+
+      * zone node blocking + w_last_edges previous-solution discount
+        (gen_local_node_template.py:43-162) in the masked 4-slot DP,
+      * the full action-set decision tree (main_online_path_gen.py:124-174):
+        object in/beside the constant path segment -> follow + ongoing-
+        overtake or default-filter left/right; object in horizon -> follow +
+        node-split left/right; free track -> straight,
+      * reduced-horizon relabeling (follow -> straight, overtakes dropped)
+        when the obstacle leaves the shrunk range
+        (main_online_path_gen.py:222-243),
+      * constant-path-segment splicing onto every exported trajectory
+        (OTH:429-473) and velocity planning over the spliced path,
+      * an emergency-brake trajectory on the base action (OTH:1027-1034).
+
+    Output slots: [straight, follow, left, right, emergency].
+    Returns dict(trajs (5, C_PAD + P, 7), valid (5,), cost (5,),
+    h_eff (5,), n_valid (5,)).
 
     :param precomputed: optional ``dict(obs=..., window=...)`` with the
         obstacle selection and DP results already computed (the Pallas
@@ -127,28 +207,69 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         machines = jnp.array([[0.0, 5.0], [100.0, 5.0]], jnp.float32)
     if p_max is None:
         p_max = int(np.ceil((lat.H_max * (lat.S - 1) + 1) / 64.0) * 64)
+    if zone_block is None:
+        zone_block = jnp.zeros((lat.L, lat.N), bool)
+    if w_last_factors is None:
+        # reference default w_last_edges (ltpl_config_online.ini COST)
+        w_last_factors = jnp.array([0.0, 0.5, 0.8], jnp.float32)
     L, N, H = lat.L, lat.N, lat.H_max
 
     if precomputed is None:
         with jax.named_scope("gltpl.object_selection"):
             obs = _select_obstacle(lat, scen)
-        zone_block = jnp.zeros((L, N), bool)
         with jax.named_scope("gltpl.plan_window"):
             out = pg.plan_window_kernel(
                 lat, scen.start_layer, scen.start_node, zone_block,
                 scen.obj_pos, scen.obj_radius, scen.obj_active,
                 obs["obs_layer"], obs["obs_node"], obs["obs_found"],
-                jnp.full((2,), -1, jnp.int32), jnp.ones((1,), jnp.float32),
-                n_last=2)
+                scen.last_nodes, w_last_factors, n_last=N_LAST)
     else:
         obs = precomputed["obs"]
         out = precomputed["window"]
     obs_idx, obs_found = obs["obs_idx"], obs["obs_found"]
     h_goal = out["h_goal"]
 
-    feas = pg.feasibility_vectors(out["best"], out["vg"])     # (4, H+1)
+    # ---- object vs constant path segment (main_online_path_gen:76-122) ----
+    with jax.named_scope("gltpl.const_path_objects"):
+        have_const = scen.const_n >= 2
+        s_start, _ = proj.get_s_coord(lat.raceline, scen.pos_est, lat.s_rl,
+                                      closed=True)
+        start_pos = lat.node_pos[scen.start_layer, scen.start_node]
+        s_end, _ = proj.get_s_coord(lat.raceline, start_pos, lat.s_rl,
+                                    closed=True)
+        s_objs = jax.vmap(
+            lambda p: proj.get_s_coord(lat.raceline, p, lat.s_rl,
+                                       closed=True)[0])(scen.obj_pos)
+        in_seg = jnp.where(
+            s_start <= s_end,
+            (s_objs >= s_start) & (s_objs <= s_end),
+            (s_objs > s_start) | (s_objs < s_end))
+        in_seg = in_seg & scen.obj_active & have_const
+        obj_besides = jnp.any(in_seg)
+        # intersection of const rows with in-seg objects (no discretization
+        # inflation, main_online_path_gen.py:118-122)
+        crow = jnp.arange(C_PAD)
+        cvalid = crow < scen.const_n
+        d2 = jnp.sum((scen.const_path[None, :, 0:2]
+                      - scen.obj_pos[:, None, :]) ** 2, axis=-1)
+        ref2c = (scen.obj_radius + lat.veh_width / 2.0) ** 2
+        hit_const = jnp.any((d2 <= ref2c[:, None]) & cvalid[None, :], axis=1)
+        obj_in_const = jnp.any(in_seg & hit_const)
+        # closest in-seg object overrides the follow target
+        track_len = lat.s_rl[-1]
+        obj_dist_c = jnp.where(s_objs < s_start,
+                               s_objs + track_len - s_start,
+                               s_objs - s_start)
+        obj_dist_c = jnp.where(in_seg, obj_dist_c, jnp.inf)
+        c_idx = jnp.argmin(obj_dist_c).astype(jnp.int32)
+        follow_obj_idx = jnp.where(obj_besides, c_idx, obs_idx)
 
-    # horizon per slot: straight & follow shrink; left/right use follow's
+    # ---- action-set decision tree (main_online_path_gen:124-174) ----------
+    case_a = obj_in_const | obj_besides
+    case_b = (~case_a) & obs_found
+    case_c = (~case_a) & (~obs_found)
+
+    feas = pg.feasibility_vectors(out["best"], out["vg"])     # (4, H+1)
     hs = jnp.arange(H + 1)
 
     def shrink_select(fv):
@@ -157,33 +278,94 @@ def scenario_tick(lat: Lattice, scen: Scenario,
 
     h_straight = shrink_select(feas[pg.SLOT_STRAIGHT])
     h_follow = shrink_select(feas[pg.SLOT_FOLLOW])
+    # overtake actions never shrink on their own; they inherit follow's
+    # (shared mod_action_set_goal_layer, main_online_path_gen.py:187-220)
     h_lr = h_follow
     h_left = jnp.where((h_lr >= 1) & feas[pg.SLOT_LEFT, h_lr], h_lr, 0)
     h_right = jnp.where((h_lr >= 1) & feas[pg.SLOT_RIGHT, h_lr], h_lr, 0)
-    h_all = jnp.stack([h_straight, h_follow, h_left, h_right])
+    # case A extras run the default-filter (straight-slot) search at the
+    # follow-shrunk horizon, without further shrink
+    h_a_extra = jnp.where((h_lr >= 1) & feas[pg.SLOT_STRAIGHT, h_lr], h_lr, 0)
 
-    # which slots are part of the action set
-    slot_on = jnp.where(obs_found,
-                        jnp.array([False, True, True, True]),
-                        jnp.array([True, False, False, False]))
-    valid = slot_on & (h_all >= 1)
-    h_safe = jnp.maximum(h_all, 1)
+    # reduced-horizon relabeling (main_online_path_gen:222-243): when the
+    # horizon shrank and the (template-)closest obstacle fell out of the
+    # shrunk range, follow is renamed straight and overtakes are dropped
+    p_obs_w = jnp.mod(obs["obs_layer"] - scen.start_layer, L)
+    reduced = (h_follow != h_goal) | \
+        ((not lat.closed) & (jnp.mod(scen.start_layer + h_goal, L) == L - 1))
+    obj_in_mod = p_obs_w <= h_follow
+    relabel = reduced & (~obj_in_const) & obs_found & (~obj_in_mod)
 
-    def run_slot(slot, h_eff):
-        nodes, cost = pg.backtrace_slot(out["best"][slot], out["bp"][slot],
-                                        out["vg"][slot], h_eff)
-        psi_s = lat.node_psi[scen.start_layer, scen.start_node]
+    # per-output-slot source DP slot + horizon + validity
+    ongoing = case_a & (~obj_in_const) & \
+        ((scen.last_action_lr == pg.SLOT_LEFT)
+         | (scen.last_action_lr == pg.SLOT_RIGHT))
+    lr_both = case_a & (~obj_in_const) & (~ongoing)
+
+    v_straight = (case_c & (h_straight >= 1)) | \
+        ((case_a | case_b) & relabel & (h_follow >= 1))
+    v_follow = (case_a | case_b) & (~relabel) & (h_follow >= 1)
+    v_left = (~relabel) & (
+        (case_b & (h_left >= 1))
+        | (lr_both & (h_a_extra >= 1))
+        | (ongoing & (scen.last_action_lr == pg.SLOT_LEFT)
+           & (h_a_extra >= 1)))
+    v_right = (~relabel) & (
+        (case_b & (h_right >= 1))
+        | (lr_both & (h_a_extra >= 1))
+        | (ongoing & (scen.last_action_lr == pg.SLOT_RIGHT)
+           & (h_a_extra >= 1)))
+
+    src_straight = jnp.where(relabel, pg.SLOT_FOLLOW, pg.SLOT_STRAIGHT)
+    src_left = jnp.where(case_a, pg.SLOT_STRAIGHT, pg.SLOT_LEFT)
+    src_right = jnp.where(case_a, pg.SLOT_STRAIGHT, pg.SLOT_RIGHT)
+    h_out_straight = jnp.where(relabel, h_follow, h_straight)
+    h_out_left = jnp.where(case_a, h_a_extra, h_left)
+    h_out_right = jnp.where(case_a, h_a_extra, h_right)
+
+    src4 = jnp.stack([src_straight, jnp.int32(pg.SLOT_FOLLOW),
+                      src_left, src_right])
+    h4 = jnp.stack([h_out_straight, h_follow, h_out_left, h_out_right])
+    valid4 = jnp.stack([v_straight, v_follow, v_left, v_right])
+    h_safe = jnp.maximum(h4, 1)
+
+    # ---- backtrace + assembly per output slot ------------------------------
+    def run_slot(src, h_eff):
+        nodes, cost = pg.backtrace_slot(out["best"][src], out["bp"][src],
+                                        out["vg"][src], h_eff)
+        # start heading: end of const path if present, else node heading
+        # (main_online_path_gen:299-303)
+        psi_const = scen.const_path[
+            jnp.clip(scen.const_n - 1, 0, C_PAD - 1), 2]
+        psi_s = jnp.where(have_const, psi_const,
+                          lat.node_psi[scen.start_layer, scen.start_node])
         res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
                                         h_eff, psi_s, p_max=p_max)
         return res, cost
 
     with jax.named_scope("gltpl.backtrace_assemble"):
-        res_all, cost_all = jax.vmap(run_slot)(jnp.arange(4), h_safe)
+        res_all, cost_all = jax.vmap(run_slot)(src4, h_safe)
 
-    # velocity profiles per slot
-    gg = jnp.broadcast_to(jnp.asarray(gg_lim, jnp.float32), (p_max, 2))
-    c_obj_pos = scen.obj_pos[obs_idx]
-    c_obj_vel = scen.obj_vel[obs_idx]
+    # ---- constant-path splice (OTH:429-473) --------------------------------
+    with jax.named_scope("gltpl.const_splice"):
+        P_full = C_PAD + p_max
+        idxf = jnp.arange(P_full)
+        cn = scen.const_n
+        # const rows carry [x y psi kappa el]; shift the new path up by cn
+        gather_new = jnp.clip(idxf - cn, 0, p_max - 1)
+        const5 = scen.const_path
+        paths_full = jnp.where(
+            (idxf < cn)[None, :, None],
+            jnp.broadcast_to(const5[jnp.clip(idxf, 0, C_PAD - 1)],
+                             (4, P_full, 5)),
+            res_all["path"][:, gather_new, :])
+        n_valid_full = res_all["n_valid"] + cn
+
+    # ---- velocity stage over the spliced paths -----------------------------
+    gg = jnp.broadcast_to(jnp.asarray(gg_lim, jnp.float32), (P_full, 2))
+    c_obj_pos = scen.obj_pos[follow_obj_idx]
+    c_obj_vel = scen.obj_vel[follow_obj_idx]
+    follow_target = obs_found | obj_besides
     opp_stop_dist, roll_vel, _, roll_cum = vp.opponent_summary(
         lat.glob_rl, lat.glob_el, c_obj_pos, c_obj_vel,
         dyn_model_exp, drag_coeff, m_veh)
@@ -192,13 +374,13 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         # raceline end velocity per slot (OTH:860-867: goal-layer raceline
         # velocity as the planning target)
         v_rl = lat.vel_rl[out["win_layers"][h_safe]]        # (4,)
-        # object distance along the FOLLOW slot's path (only consumer)
-        path_f = res_all["path"][pg.SLOT_FOLLOW]
+        # object distance along the FOLLOW slot's spliced path
+        path_f = paths_full[pg.SLOT_FOLLOW]
         s_obj, _ = proj.get_s_coord(path_f[:, 0:2], c_obj_pos,
                                     jnp.cumsum(path_f[:, 4]))
-        obj_dist = jnp.where(obs_found, s_obj, 0.0)
+        obj_dist = jnp.where(follow_target, s_obj, 0.0)
         o = vp.velocity_stage_scenario(
-            res_all["path"], res_all["n_valid"], gg,
+            paths_full, n_valid_full, gg,
             scen.vel_plan, scen.vel_est, jnp.float32(vel_max),
             machines, jnp.float32(0.1), v_rl,
             obj_dist, c_obj_vel, jnp.float32(safety_d),
@@ -207,12 +389,40 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
             jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh,
             follow_slot=pg.SLOT_FOLLOW)
-        trajs = o["trajs"]
-    return dict(trajs=trajs, valid=valid, cost=cost_all, h_eff=h_all,
-                n_valid=res_all["n_valid"])
+        trajs4 = o["trajs"]
+
+    # ---- emergency-brake trajectory (OTH:1027-1034) -------------------------
+    # base action = first key of the final set in reference insertion order:
+    # follow when an object case is active (or its relabeled straight),
+    # else straight — both map to the same output path here
+    em_base = jnp.where(case_c | relabel, 0, 1).astype(jnp.int32)
+    if incl_emergency:
+        with jax.named_scope("gltpl.emergency"):
+            base_traj = trajs4[em_base]                     # (P_full, 7)
+            base_path = paths_full[em_base]                 # (P_full, 5)
+            v_em = velops.calc_vel_profile_brake(
+                base_path[:, 3], base_path[:, 4], gg,
+                v_start=base_traj[0, 5], dyn_model_exp=dyn_model_exp,
+                drag_coeff=drag_coeff, m_veh=m_veh)
+            a_em = velops.calc_ax_profile(v_em, base_path[:, 4])
+            traj_em = base_traj.at[:, 5].set(v_em)
+            traj_em = traj_em.at[:-1, 6].set(a_em)
+            traj_em = traj_em.at[-1, 6].set(0.0)
+        trajs = jnp.concatenate([trajs4, traj_em[None]], axis=0)
+        valid = jnp.concatenate([valid4, (valid4[em_base])[None]])
+        cost5 = jnp.concatenate([cost_all, cost_all[em_base][None]])
+        h5 = jnp.concatenate([h4, h4[em_base][None]])
+        nv5 = jnp.concatenate([n_valid_full, n_valid_full[em_base][None]])
+    else:
+        trajs, valid, cost5, h5, nv5 = (trajs4, valid4, cost_all, h4,
+                                        n_valid_full)
+    return dict(trajs=trajs, valid=valid, cost=cost5, h_eff=h5,
+                n_valid=nv5, case_a=case_a, relabel=relabel,
+                em_base=em_base)
 
 
-def _batched_window(lat: Lattice, scen: Scenario, samples_t=None):
+def _batched_window(lat: Lattice, scen: Scenario, samples_t=None,
+                    zone_block=None, w_last_factors=None):
     """Batched obstacle selection + fused Pallas window DP + per-scenario
     vg/window metadata — the TPU fast path for the search stage.
 
@@ -222,7 +432,10 @@ def _batched_window(lat: Lattice, scen: Scenario, samples_t=None):
     from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
         fused_window_dp)
     B = scen.start_layer.shape[0]
-    zone_block = jnp.zeros((lat.L, lat.N), bool)
+    if zone_block is None:
+        zone_block = jnp.zeros((lat.L, lat.N), bool)
+    if w_last_factors is None:
+        w_last_factors = jnp.array([0.0, 0.5, 0.8], jnp.float32)
 
     obs = jax.vmap(lambda s: _select_obstacle(lat, s))(scen)
     if samples_t is not None:
@@ -247,7 +460,7 @@ def _batched_window(lat: Lattice, scen: Scenario, samples_t=None):
             lat.w, zone_block, scen.start_layer, scen.start_node,
             pre["slab_layers"], hit_slab, pre["p_obs"],
             pre["in_win"], obs["obs_node"],
-            jnp.full((B, 2), -1, jnp.int32), jnp.ones((1,), jnp.float32),
+            scen.last_nodes, w_last_factors,
             closed=bool(lat.closed), h_max=int(lat.H_max))
     vg = jax.vmap(
         lambda wl, p, iw, on: pg.window_vg(lat, wl, zone_block, p, iw, on))(
