@@ -27,9 +27,7 @@ import numpy as np
 from graphbasedlocaltrajectoryplanner_tpu.models.lattice import Lattice
 from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
 from graphbasedlocaltrajectoryplanner_tpu.planner import velplan as vp
-from graphbasedlocaltrajectoryplanner_tpu.ops import search as srch
 from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
-from graphbasedlocaltrajectoryplanner_tpu.ops import velocity as velops
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 
 O_PAD = 4
@@ -67,9 +65,16 @@ class Scenario:
     obj_radius: jnp.ndarray      # (O_PAD,)
     obj_vel: jnp.ndarray         # (O_PAD,)
     obj_active: jnp.ndarray      # (O_PAD,) bool
+    obj_owner: jnp.ndarray       # (O_PAD,) int32 — owning-vehicle index per
+    #                              slot (vehicle slot first, then its
+    #                              prediction points; -1 = empty slot)
     pos_est: jnp.ndarray         # (2,) f32 ego position (cut point)
     const_path: jnp.ndarray      # (C_PAD, 5) f32 [x y psi kappa el]
     const_n: jnp.ndarray         # int32 — valid const rows (0 = none)
+    psi_start: jnp.ndarray       # f32 — previous path heading AT the start
+    #                              node (refit seam heading, OTH prev[loc])
+    vel_course: jnp.ndarray      # (C_PAD,) f32 committed delay-comp course
+    c_len: jnp.ndarray           # int32 — true vel_course length
     last_nodes: jnp.ndarray      # (N_LAST,) int32 window node chain (-1 pad)
     last_action_lr: jnp.ndarray  # int32 — SLOT_LEFT/SLOT_RIGHT or -1
 
@@ -106,11 +111,18 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
             obj_vel[b, k] = vel * 0.5
             obj_act[b, k] = True
 
+    obj_owner = np.where(obj_act, np.arange(O_PAD)[None, :], -1).astype(
+        np.int32)
     pos_est = node_pos[start_layer, start_node].astype(np.float32)
     const_path = np.zeros((batch, C_PAD, 5), np.float32)
     const_n = np.zeros(batch, np.int32)
+    psi_start = np.zeros(batch, np.float32)
+    vel_course = np.zeros((batch, C_PAD), np.float32)
+    c_len = np.zeros(batch, np.int32)
     last_nodes = np.full((batch, N_LAST), -1, np.int32)
     last_lr = np.full(batch, -1, np.int32)
+    node_psi = np.asarray(lat.node_psi)
+    psi_start[:] = node_psi[start_layer, start_node]
     if steady_state:
         samples = np.asarray(lat.samples_xy)        # (L, N, N, S, 2)
         S = lat.S
@@ -125,9 +137,15 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
             # exclusive prefix: rows up to (not incl.) the start node; the
             # final row's el is the seam to the start node (OTH reassembly)
             const_path[b, :n_const - 1, 0:2] = seg[:-1]
+            d = np.diff(seg, axis=0)
+            const_path[b, :n_const - 1, 2] = \
+                np.arctan2(d[:, 1], d[:, 0]) - np.pi / 2.0
             const_path[b, :n_const - 1, 4] = el
             const_n[b] = n_const - 1
             pos_est[b] = seg[0]
+            # committed delay-comp course over the const rows
+            vel_course[b, :n_const - 1] = vel
+            c_len[b] = n_const - 1
             # previous solution ahead on the raceline
             for i in range(N_LAST):
                 last_nodes[b, i] = rl[(start_layer[b] + i) % L]
@@ -140,22 +158,53 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
         obj_radius=jnp.asarray(obj_rad),
         obj_vel=jnp.asarray(obj_vel),
         obj_active=jnp.asarray(obj_act),
+        obj_owner=jnp.asarray(obj_owner),
         pos_est=jnp.asarray(pos_est),
         const_path=jnp.asarray(const_path),
         const_n=jnp.asarray(const_n),
+        psi_start=jnp.asarray(psi_start),
+        vel_course=jnp.asarray(vel_course),
+        c_len=jnp.asarray(c_len),
         last_nodes=jnp.asarray(last_nodes),
         last_action_lr=jnp.asarray(last_lr),
     )
 
 
+def vehicle_slots(obj_active, obj_owner):
+    """Mask of slots that are a vehicle position (not a prediction point):
+    the first active slot of each owner (vehicles_to_arrays layout)."""
+    lead = jnp.concatenate([jnp.ones((1,), bool),
+                            obj_owner[1:] != obj_owner[:-1]])
+    return obj_active & (obj_owner >= 0) & lead
+
+
 def _select_obstacle(lat: Lattice, scen: Scenario):
-    """Closest object -> obstacle node (gen_local_node_template.py:164-213),
-    per scenario."""
+    """Closest object -> obstacle node (gen_local_node_template.py:164-213;
+    handler._online_path_gen:353-380), per scenario.
+
+    Reference semantics: each vehicle's layer is keyed on its LAST
+    prediction point (the reference overwrites ``obj_layer`` per point in
+    its loop), the closest vehicle by forward layer distance wins (first
+    vehicle on ties), and the obstacle node is the node nearest the
+    vehicle *position* within that keyed layer."""
+    O = scen.obj_pos.shape[0]
+    sl = jnp.arange(O)
+    owner = scen.obj_owner
     obj_layer = col.object_layers(lat.refline, scen.obj_pos)
     h_goal = lat.h_goal_for_start[scen.start_layer]
-    obs_idx, _, obs_found = col.closest_object(
-        obj_layer, scen.obj_active, scen.start_layer, h_goal, lat.L)
-    obs_layer = obj_layer[obs_idx]
+    fwd = col.layer_dist_mod(scen.start_layer, obj_layer, lat.L)
+    # keyed slot per owner = last active slot carrying that owner
+    later_same = (owner[None, :] == owner[:, None]) \
+        & (sl[None, :] > sl[:, None]) & scen.obj_active[None, :]
+    is_key = scen.obj_active & (owner >= 0) & ~jnp.any(later_same, axis=1)
+    ok = is_key & (fwd <= h_goal)
+    fwd_masked = jnp.where(ok, fwd, lat.L + 1)
+    key_slot = jnp.argmin(fwd_masked).astype(jnp.int32)
+    obs_found = jnp.any(ok)
+    # vehicle slot = first active slot of the winning owner
+    first = (owner == owner[key_slot]) & scen.obj_active
+    obs_idx = jnp.argmax(first).astype(jnp.int32)
+    obs_layer = obj_layer[key_slot]
     d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
                  axis=-1)
     d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
@@ -244,16 +293,23 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             s_start <= s_end,
             (s_objs >= s_start) & (s_objs <= s_end),
             (s_objs > s_start) | (s_objs < s_end))
-        in_seg = in_seg & scen.obj_active & have_const
+        # the reference iterates obj_veh (vehicle positions), not the
+        # flattened prediction points — gate on the vehicle slots
+        in_seg = in_seg & vehicle_slots(scen.obj_active, scen.obj_owner) \
+            & have_const
         obj_besides = jnp.any(in_seg)
         # intersection of const rows with in-seg objects (no discretization
-        # inflation, main_online_path_gen.py:118-122)
+        # inflation, main_online_path_gen.py:118-122); the reference's
+        # const_path_seg includes the start-node row (OTH:415 slice +1), so
+        # test the start node position as well
         crow = jnp.arange(C_PAD)
         cvalid = crow < scen.const_n
         d2 = jnp.sum((scen.const_path[None, :, 0:2]
                       - scen.obj_pos[:, None, :]) ** 2, axis=-1)
         ref2c = (scen.obj_radius + lat.veh_width / 2.0) ** 2
-        hit_const = jnp.any((d2 <= ref2c[:, None]) & cvalid[None, :], axis=1)
+        d2s = jnp.sum((start_pos[None, :] - scen.obj_pos) ** 2, axis=-1)
+        hit_const = jnp.any((d2 <= ref2c[:, None]) & cvalid[None, :], axis=1) \
+            | (d2s <= ref2c)
         obj_in_const = jnp.any(in_seg & hit_const)
         # closest in-seg object overrides the follow target
         track_len = lat.s_rl[-1]
@@ -333,18 +389,18 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     def run_slot(src, h_eff):
         nodes, cost = pg.backtrace_slot(out["best"][src], out["bp"][src],
                                         out["vg"][src], h_eff)
-        # start heading: end of const path if present, else node heading
-        # (main_online_path_gen:299-303)
-        psi_const = scen.const_path[
-            jnp.clip(scen.const_n - 1, 0, C_PAD - 1), 2]
-        psi_s = jnp.where(have_const, psi_const,
+        # start heading: previous-path heading AT the start node when a
+        # const segment exists (the reference's const_path_seg includes the
+        # start-node row, so psi_s = const_path_seg[-1, 2] is the heading at
+        # the start node; main_online_path_gen:300-303), else node heading
+        psi_s = jnp.where(have_const, scen.psi_start,
                           lat.node_psi[scen.start_layer, scen.start_node])
         res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
                                         h_eff, psi_s, p_max=p_max)
-        return res, cost
+        return res, cost, nodes[h_eff]
 
     with jax.named_scope("gltpl.backtrace_assemble"):
-        res_all, cost_all = jax.vmap(run_slot)(src4, h_safe)
+        res_all, cost_all, end_nodes = jax.vmap(run_slot)(src4, h_safe)
 
     # ---- constant-path splice (OTH:429-473) --------------------------------
     with jax.named_scope("gltpl.const_splice"):
@@ -371,18 +427,32 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         dyn_model_exp, drag_coeff, m_veh)
 
     with jax.named_scope("gltpl.velocity"):
-        # raceline end velocity per slot (OTH:860-867: goal-layer raceline
-        # velocity as the planning target)
-        v_rl = lat.vel_rl[out["win_layers"][h_safe]]        # (4,)
-        # object distance along the FOLLOW slot's spliced path
+        # raceline end velocity per slot, reduced by the end node's lateral
+        # displacement from the raceline (OTH:838-867)
+        end_layers = out["win_layers"][h_safe]              # (4,)
+        v_rl = lat.vel_rl[end_layers]                       # (4,)
+        rl_off = jnp.abs(end_nodes - lat.rl_idx[end_layers]).astype(
+            jnp.float32) * lat.lat_offset
+        v_end_rl4 = v_rl - jnp.minimum(
+            v_rl * lat.vel_decrease_lat * rl_off, v_rl)
+        # reduced-horizon flag per output slot (main_online_path_gen:223-225)
+        open_goal_end = (not lat.closed) & \
+            (jnp.mod(scen.start_layer + h_goal, L) == L - 1)
+        red4 = (h4 != h_goal) | open_goal_end
+        # object distance along the FOLLOW slot's spliced path, relative to
+        # the ego projection (OTH:762-785)
         path_f = paths_full[pg.SLOT_FOLLOW]
-        s_obj, _ = proj.get_s_coord(path_f[:, 0:2], c_obj_pos,
-                                    jnp.cumsum(path_f[:, 4]))
-        obj_dist = jnp.where(follow_target, s_obj, 0.0)
+        s_arr_f = jnp.cumsum(path_f[:, 4])
+        s_obj, _ = proj.get_s_coord(path_f[:, 0:2], c_obj_pos, s_arr_f)
+        s_ego, _ = proj.get_s_coord(path_f[:, 0:2], scen.pos_est, s_arr_f)
+        obj_dist = jnp.where(follow_target, s_obj - s_ego, 0.0)
+        # committed delay-compensation velocity course over the const rows
+        vc_full = jnp.zeros((P_full,), jnp.float32)
+        vc_full = vc_full.at[:C_PAD].set(scen.vel_course)
         o = vp.velocity_stage_scenario(
-            paths_full, n_valid_full, gg,
+            paths_full, n_valid_full, gg, vc_full, scen.c_len,
             scen.vel_plan, scen.vel_est, jnp.float32(vel_max),
-            machines, jnp.float32(0.1), v_rl,
+            machines, jnp.float32(0.1), v_end_rl4, red4,
             obj_dist, c_obj_vel, jnp.float32(safety_d),
             opp_stop_dist, roll_vel, roll_cum,
             jnp.float32(lat.veh_length),
@@ -390,6 +460,11 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh,
             follow_slot=pg.SLOT_FOLLOW)
         trajs4 = o["trajs"]
+        # broken velocity constraints remove overtake actions; follow /
+        # straight are always retained (no backup state in the batched
+        # engine — the stateful brake-on-backup ladder lives in the
+        # OnlineHandler, OTH:943-1015)
+        valid4 = valid4 & (o["vel_bound"] | (jnp.arange(4) < 2))
 
     # ---- emergency-brake trajectory (OTH:1027-1034) -------------------------
     # base action = first key of the final set in reference insertion order:
@@ -398,16 +473,10 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     em_base = jnp.where(case_c | relabel, 0, 1).astype(jnp.int32)
     if incl_emergency:
         with jax.named_scope("gltpl.emergency"):
+            # brake-to-stop on the base trajectory with the reference's
+            # hardcoded emergency vehicle constants (calc_brake_emergency.py)
             base_traj = trajs4[em_base]                     # (P_full, 7)
-            base_path = paths_full[em_base]                 # (P_full, 5)
-            v_em = velops.calc_vel_profile_brake(
-                base_path[:, 3], base_path[:, 4], gg,
-                v_start=base_traj[0, 5], dyn_model_exp=dyn_model_exp,
-                drag_coeff=drag_coeff, m_veh=m_veh)
-            a_em = velops.calc_ax_profile(v_em, base_path[:, 4])
-            traj_em = base_traj.at[:, 5].set(v_em)
-            traj_em = traj_em.at[:-1, 6].set(a_em)
-            traj_em = traj_em.at[-1, 6].set(0.0)
+            traj_em = vp.emergency_kernel(base_traj, gg)
         trajs = jnp.concatenate([trajs4, traj_em[None]], axis=0)
         valid = jnp.concatenate([valid4, (valid4[em_base])[None]])
         cost5 = jnp.concatenate([cost_all, cost_all[em_base][None]])

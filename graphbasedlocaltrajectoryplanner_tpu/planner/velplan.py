@@ -301,9 +301,12 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             n_valids,     # (4,)
                             gg,           # (P, 2) shared local gg (unscaled)
+                            vel_course,   # (P,) committed delay-comp course
+                            c_len,        # scalar int32 — true course length
                             vel_plan, vel_est, vel_max,
                             machines, v_max_offset,
                             v_end_rl,     # (4,) per-slot raceline end velocity
+                            red_len,      # (4,) bool — reduced horizon per slot
                             obj_dist, v_obj, safety_d,
                             opp_stop_dist, roll_vel, roll_cum,
                             veh_length,
@@ -312,11 +315,13 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             control_type: str = "PD",
                             follow_slot: int = 1):
     """Slot-specialized velocity stage for the batched scenario engine —
-    the same math as 4x :func:`velocity_kernel` (with ``c_len=0``,
-    ``red_len=False``, ``gg_scale=old_gg_scale=1``) but the follow solver
-    runs ONLY for the follow slot: 13 recurrence rows across the 4 stacked
-    levels instead of 32 (prefix x4; ego-brake/unconstrained/seg2 x1 each;
-    normal fwd/bwd x4).  Equivalence pinned by tests/test_velplan_fused.py.
+    the same math as 4x :func:`velocity_kernel` (with
+    ``gg_scale=old_gg_scale=1``) but the follow solver runs ONLY for the
+    follow slot: 13 recurrence rows across the 4 stacked levels instead of
+    32 (prefix x4; ego-brake/unconstrained/seg2 x1 each; normal fwd/bwd x4).
+    The first ``c_len`` rows keep the committed ``vel_course`` velocities
+    and replanning starts from ``vel_plan`` at row ``c_len`` (OTH delay
+    compensation).  Equivalence pinned by tests/test_velplan_fused.py.
 
     :returns: dict(trajs (4, P, 7), vel_bound (4,), too_close scalar).
     """
@@ -354,13 +359,16 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
 
     # ---- level 0: brake prefix per slot ------------------------------------
     prefix_active = vel_plan > (vel_max + 0.1)
-    v_decel = _lvl([_brake_row(kabs[s], el[s], vel_plan) for s in range(4)],
+    el_pref = jnp.where(idx[None, :] < c_len, 0.0, el)   # course rows no-op
+    v_decel = _lvl([_brake_row(kabs[s], el_pref[s], vel_plan)
+                    for s in range(4)],
                    [velops.MODE_BRAKE] * 4)              # (4, P)
     reach = v_decel <= vel_max
     first_reach = jnp.argmax(reach, axis=1)
     got = jnp.take_along_axis(reach, first_reach[:, None], axis=1)[:, 0]
     first_reach = jnp.where(got, first_reach, P - 1)
-    pref_idx = jnp.where(prefix_active, first_reach, 0)  # (4,)
+    pref_idx = jnp.where(prefix_active,
+                         jnp.maximum(first_reach, c_len), c_len)  # (4,)
     vel_start = jnp.where(
         prefix_active,
         jnp.take_along_axis(v_decel, pref_idx[:, None], axis=1)[:, 0],
@@ -390,13 +398,22 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                                   v_obj, vel_est, control_type),
         0.0, vel_max)
 
-    # ---- normal bounds per slot (red_len = False) ---------------------------
-    v_idx = n_valids                                     # (4,)
+    # ---- normal bounds per slot (OTH:832-903) -------------------------------
+    # reduced horizon: zero end velocity, forced over the last 5 m
+    spl_len = jnp.take_along_axis(
+        s4, jnp.clip(n_valids - 1, 0, P - 1)[:, None], axis=1)[:, 0]
+    cum = jnp.cumsum(el[:, :-1], axis=1)
+    below = cum < (spl_len[:, None] - 5.0)
+    v_idx_red = jnp.argmin(below, axis=1) + 1
+    v_idx_red = jnp.where((v_idx_red == 1) & (n_valids > 1),
+                          n_valids, v_idx_red)
+    v_idx = jnp.where(red_len, v_idx_red, n_valids)      # (4,)
+    v_end = jnp.where(red_len, 0.0, v_end_rl)            # (4,)
     el_n = jnp.where(idx[None, :] >= v_idx[:, None] - 1, 0.0, el_m)
     v_lat = jnp.sqrt(gg[None, :, 1] / jnp.maximum(kabs_m, 1e-9))  # (4, P)
     v0_n = jnp.minimum(v_lat, vel_max)
     v0_n = jnp.where(idx[None, :] >= v_idx[:, None] - 1,
-                     jnp.minimum(v0_n, v_end_rl[:, None]), v0_n)
+                     jnp.minimum(v0_n, v_end[:, None]), v0_n)
     v0_u = jnp.minimum(v_lat[F], vel_max)
 
     # ---- level 1: ego brake (F) + unconstrained fwd (F) + normal fwd x4 ----
@@ -459,10 +476,15 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     normal_bound = jnp.where(degenerate, False, normal_bound)
 
     # ---- select per slot + prefix + smoothing -------------------------------
+    # follow with reduced horizon merges with the normal profile (OTH:918-923)
     is_follow = jnp.arange(4) == F
-    vx_branch = jnp.where(is_follow[:, None], vx_follow[None, :], vx_normal)
+    vx_follow_sel = jnp.where(red_len[F],
+                              jnp.minimum(vx_follow, vx_normal[F]), vx_follow)
+    vx_branch = jnp.where(is_follow[:, None], vx_follow_sel[None, :],
+                          vx_normal)
     vel_bound = jnp.where(is_follow, follow_bound, normal_bound)
     vx_full = jnp.where(idx[None, :] < pref_idx[:, None], v_decel, vx_branch)
+    vx_full = jnp.where(idx[None, :] < c_len, vel_course[None, :], vx_full)
 
     ax = (vx_full[:, 1:] ** 2 - vx_full[:, :-1] ** 2) \
         / jnp.maximum(2.0 * el[:, :-1], 1e-9)

@@ -85,10 +85,13 @@ def test_fused_follow_matches_follow_solver(obj_dist):
                                float(ctrl_d), rtol=1e-6)
 
 
-@pytest.mark.parametrize("vel_plan,vel_max,obj_dist",
-                         [(20.0, 70.0, 90.0),     # plain
-                          (60.0, 30.0, 40.0)])    # brake prefix + close obj
-def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist):
+@pytest.mark.parametrize("vel_plan,vel_max,obj_dist,red,c_len",
+                         [(20.0, 70.0, 90.0, False, 0),   # plain
+                          (60.0, 30.0, 40.0, False, 0),   # brake prefix
+                          (20.0, 70.0, 90.0, True, 0),    # reduced horizon
+                          (20.0, 70.0, 90.0, False, 6)])  # vel-course prefix
+def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist,
+                                             red, c_len):
     """velocity_stage_scenario (13 stacked rows) == 4x velocity_kernel."""
     import jax.numpy as jnp
     P = 160
@@ -99,14 +102,19 @@ def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist):
     roll_vel = np.full((128,), 15.0, np.float32)
     roll_cum = np.cumsum(np.full((128,), 3.0)).astype(np.float32)
     v_end_rl = np.array([28.0, 25.0, 27.0, 26.0], np.float32)
+    red_len = np.full((4,), red)
+    vel_course = np.zeros((P,), np.float32)
+    vel_course[:c_len] = vel_plan
     common = dict(opp_stop_dist=jnp.float32(25.0),
                   roll_vel=jnp.asarray(roll_vel),
                   roll_cum=jnp.asarray(roll_cum))
 
     out = vp.velocity_stage_scenario(
         jnp.asarray(paths), jnp.asarray(n_valids), jnp.asarray(gg),
+        jnp.asarray(vel_course), jnp.int32(c_len),
         jnp.float32(vel_plan), jnp.float32(vel_plan), jnp.float32(vel_max),
         jnp.asarray(MACHINES), jnp.float32(0.1), jnp.asarray(v_end_rl),
+        jnp.asarray(red_len),
         jnp.float32(obj_dist), jnp.float32(12.0), jnp.float32(30.0),
         common["opp_stop_dist"], common["roll_vel"], common["roll_cum"],
         jnp.float32(4.7), jnp.float32(1.25), jnp.float32(0.025),
@@ -116,10 +124,10 @@ def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist):
     for s in range(4):
         ref = vp.velocity_kernel(
             jnp.asarray(paths[s]), jnp.int32(int(n_valids[s])),
-            jnp.asarray(gg), jnp.zeros((P,), jnp.float32), jnp.int32(0),
+            jnp.asarray(gg), jnp.asarray(vel_course), jnp.int32(c_len),
             jnp.float32(vel_plan), jnp.float32(vel_plan),
             jnp.float32(vel_max), jnp.float32(1.0), jnp.float32(1.0),
-            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, False,
+            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, bool(red),
             jnp.float32(v_end_rl[s]), jnp.float32(obj_dist),
             jnp.float32(12.0), jnp.float32(30.0), common["opp_stop_dist"],
             common["roll_vel"], common["roll_cum"], jnp.float32(4.7),
