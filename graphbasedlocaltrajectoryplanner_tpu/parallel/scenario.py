@@ -280,7 +280,10 @@ def scenario_tick(lat: Lattice, scen: Scenario,
 
     # ---- object vs constant path segment (main_online_path_gen:76-122) ----
     with jax.named_scope("gltpl.const_path_objects"):
-        have_const = scen.const_n >= 2
+        # const_path is the exclusive prefix; the reference's const_path_seg
+        # additionally carries the start-node row, so its ">= 2 rows" check
+        # is const_n >= 1 here
+        have_const = scen.const_n >= 1
         s_start, _ = proj.get_s_coord(lat.raceline, scen.pos_est, lat.s_rl,
                                       closed=True)
         start_pos = lat.node_pos[scen.start_layer, scen.start_node]
@@ -392,9 +395,16 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         # start heading: previous-path heading AT the start node when a
         # const segment exists (the reference's const_path_seg includes the
         # start-node row, so psi_s = const_path_seg[-1, 2] is the heading at
-        # the start node; main_online_path_gen:300-303), else node heading
-        psi_s = jnp.where(have_const, scen.psi_start,
-                          lat.node_psi[scen.start_layer, scen.start_node])
+        # the start node; main_online_path_gen:300-303); else the stored
+        # first-sample heading of the first edge (raceline edges reuse the
+        # periodic raceline spline, handler._first_edge_heading)
+        is_rl = (scen.start_node == lat.rl_idx[scen.start_layer]) \
+            & (nodes[1] == lat.rl_idx[jnp.mod(scen.start_layer + 1, L)])
+        d_rl = lat.raceline_coeffs[scen.start_layer, 1]
+        psi_rl = jnp.arctan2(d_rl[1], d_rl[0]) - jnp.pi / 2.0
+        psi_cold = jnp.where(is_rl, psi_rl,
+                             lat.node_psi[scen.start_layer, scen.start_node])
+        psi_s = jnp.where(have_const, scen.psi_start, psi_cold)
         res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
                                         h_eff, psi_s, p_max=p_max)
         return res, cost, nodes[h_eff]
