@@ -31,9 +31,10 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 
 O_PAD = 4
-# constant-path-segment pad length: t_const <= 0.5 s at <= 100 m/s over a
-# ~2.5 m sampling step is < 21 points; 32 leaves headroom (OTH:374-378)
-C_PAD = 32
+# constant-path-segment pad length: the stored previous-path prefix spans
+# from the layer cut (<= ~3 layers behind, OTH:703-731) to the warm-start
+# node (t_const <= 0.5 s ahead, OTH:374-378) — ~3*(S-1) + a few rows
+C_PAD = 64
 # w_last_edges window chain length (3 factors + terminal node; handler.N_LAST)
 N_LAST = 4
 # output action slots (emergency appended to the 4 search slots)
@@ -48,14 +49,20 @@ class Scenario:
 
     The constant-path fields carry the warm-start state of the reference's
     per-tick loop (OTH:351-414): ``const_path`` is the exclusive prefix of
-    the previously planned trajectory from the cut position up to (not
-    including) the plan start node, with the seam element length patched to
-    reach the start node (OTH:429-473 reassembly); ``last_nodes`` is the
-    previous solution's window node chain used for the ``w_last_edges``
-    discount; ``last_action_lr`` is the previously selected action when it
-    was an overtake (SLOT_LEFT / SLOT_RIGHT, else -1) for the
-    ongoing-overtake branch of the action-set decision tree
-    (main_online_path_gen.py:128-142).
+    the previously planned (stored) trajectory up to (not including) the
+    plan start node — the reference's ``const_path_seg[:-1]`` (OTH:415) —
+    with the final row's element length reaching the start node (OTH:429-473
+    reassembly).  ``cut_idx`` is the position-cut row within that prefix:
+    exported trajectories and velocity planning start there
+    (OTH.calc_vel_profile:703-731), while the object-vs-const-segment checks
+    span the whole prefix like the reference.  ``warm`` flags that a
+    previous solution exists (const_path_seg is not None), which selects the
+    previous-path seam heading even when the prefix is empty
+    (main_online_path_gen.py:300-303).  ``last_nodes`` is the previous
+    solution's window node chain used for the ``w_last_edges`` discount;
+    ``last_action_lr`` is the previously selected action when it was an
+    overtake (SLOT_LEFT / SLOT_RIGHT, else -1) for the ongoing-overtake
+    branch of the action-set decision tree (main_online_path_gen.py:128-142).
     """
     start_layer: jnp.ndarray     # int32
     start_node: jnp.ndarray      # int32
@@ -68,9 +75,16 @@ class Scenario:
     obj_owner: jnp.ndarray       # (O_PAD,) int32 — owning-vehicle index per
     #                              slot (vehicle slot first, then its
     #                              prediction points; -1 = empty slot)
-    pos_est: jnp.ndarray         # (2,) f32 ego position (cut point)
+    pos_est: jnp.ndarray         # (2,) f32 ego position seen by path
+    #                              planning (OTH pos_est at calc_paths time)
+    pos_cut: jnp.ndarray         # (2,) f32 ego position at the velocity cut
+    #                              (get_ref_idx pos_est — one tick fresher in
+    #                              the reference loop; equals pos_est when a
+    #                              scenario is a single consistent snapshot)
     const_path: jnp.ndarray      # (C_PAD, 5) f32 [x y psi kappa el]
     const_n: jnp.ndarray         # int32 — valid const rows (0 = none)
+    cut_idx: jnp.ndarray         # int32 — position-cut row (<= const_n)
+    warm: jnp.ndarray            # bool — a previous solution exists
     psi_start: jnp.ndarray       # f32 — previous path heading AT the start
     #                              node (refit seam heading, OTH prev[loc])
     vel_course: jnp.ndarray      # (C_PAD,) f32 committed delay-comp course
@@ -160,8 +174,11 @@ def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
         obj_active=jnp.asarray(obj_act),
         obj_owner=jnp.asarray(obj_owner),
         pos_est=jnp.asarray(pos_est),
+        pos_cut=jnp.asarray(pos_est),
         const_path=jnp.asarray(const_path),
         const_n=jnp.asarray(const_n),
+        cut_idx=jnp.zeros(batch, jnp.int32),
+        warm=jnp.asarray(const_n > 0),
         psi_start=jnp.asarray(psi_start),
         vel_course=jnp.asarray(vel_course),
         c_len=jnp.asarray(c_len),
@@ -404,7 +421,7 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         psi_rl = jnp.arctan2(d_rl[1], d_rl[0]) - jnp.pi / 2.0
         psi_cold = jnp.where(is_rl, psi_rl,
                              lat.node_psi[scen.start_layer, scen.start_node])
-        psi_s = jnp.where(have_const, scen.psi_start, psi_cold)
+        psi_s = jnp.where(scen.warm, scen.psi_start, psi_cold)
         res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
                                         h_eff, psi_s, p_max=p_max)
         return res, cost, nodes[h_eff]
@@ -412,18 +429,20 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     with jax.named_scope("gltpl.backtrace_assemble"):
         res_all, cost_all, end_nodes = jax.vmap(run_slot)(src4, h_safe)
 
-    # ---- constant-path splice (OTH:429-473) --------------------------------
+    # ---- constant-path splice (OTH:429-473 + cut at position OTH:703-731) --
     with jax.named_scope("gltpl.const_splice"):
         P_full = C_PAD + p_max
         idxf = jnp.arange(P_full)
-        cn = scen.const_n
-        # const rows carry [x y psi kappa el]; shift the new path up by cn
+        # exported row i = spliced[cut_idx + i]: the remaining const rows
+        # (cut..const_n-1) followed by the freshly planned path
+        cn = scen.const_n - scen.cut_idx
         gather_new = jnp.clip(idxf - cn, 0, p_max - 1)
         const5 = scen.const_path
         paths_full = jnp.where(
             (idxf < cn)[None, :, None],
-            jnp.broadcast_to(const5[jnp.clip(idxf, 0, C_PAD - 1)],
-                             (4, P_full, 5)),
+            jnp.broadcast_to(
+                const5[jnp.clip(idxf + scen.cut_idx, 0, C_PAD - 1)],
+                (4, P_full, 5)),
             res_all["path"][:, gather_new, :])
         n_valid_full = res_all["n_valid"] + cn
 
@@ -452,9 +471,12 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         # object distance along the FOLLOW slot's spliced path, relative to
         # the ego projection (OTH:762-785)
         path_f = paths_full[pg.SLOT_FOLLOW]
-        s_arr_f = jnp.cumsum(path_f[:, 4])
+        # leading-zero s array: the reference's get_s_coord prepends 0 when
+        # handed a bare cumsum (get_s_coord.py:60-63 / hostmath:51-52)
+        s_arr_f = jnp.concatenate([jnp.zeros((1,)),
+                                   jnp.cumsum(path_f[:-1, 4])])
         s_obj, _ = proj.get_s_coord(path_f[:, 0:2], c_obj_pos, s_arr_f)
-        s_ego, _ = proj.get_s_coord(path_f[:, 0:2], scen.pos_est, s_arr_f)
+        s_ego, _ = proj.get_s_coord(path_f[:, 0:2], scen.pos_cut, s_arr_f)
         obj_dist = jnp.where(follow_target, s_obj - s_ego, 0.0)
         # committed delay-compensation velocity course over the const rows
         vc_full = jnp.zeros((P_full,), jnp.float32)

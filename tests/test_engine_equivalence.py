@@ -1,0 +1,267 @@
+"""OnlineHandler <-> batched-engine equivalence (VERDICT round-1 item 2).
+
+Replays a closed-loop OnlineHandler lap — dynamic opponent + blocked zone,
+exercising warm starts, const-path splicing, the action-set decision tree,
+follow mode, and the emergency slot — tick by tick through
+``parallel.scenario.scenario_tick`` with the handler's exact per-tick state,
+and requires identical action sets and bitwise-close trajectories.
+
+This pins the bench metric's honesty: the throughput number measured on
+``scenario_tick`` is the same computation the sequential reference-parity
+handler performs per tick (reference semantics:
+main_online_path_gen.py:76-334, OnlineTrajectoryHandler.py:289-1040).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphbasedlocaltrajectoryplanner_tpu.models.track import make_oval_track
+from graphbasedlocaltrajectoryplanner_tpu.models import lattice as latmod
+from graphbasedlocaltrajectoryplanner_tpu.utils.config import (OfflineConfig,
+                                                               OnlineConfig)
+from graphbasedlocaltrajectoryplanner_tpu.planner.handler import OnlineHandler
+from graphbasedlocaltrajectoryplanner_tpu.planner import objects as objmod
+from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
+from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import (
+    vdc_dummy)
+
+VEL_MAX = 70.0
+MACHINES = np.array([[0.0, 5.0], [100.0, 5.0]], np.float32)
+SAFETY_D = 30.0
+SLOT_NAME = {0: "straight", 1: "follow", 2: "left", 3: "right",
+             4: "emergency"}
+
+
+@pytest.fixture(scope="module")
+def oval():
+    gt = make_oval_track()
+    lat = latmod.build_lattice(gt, OfflineConfig(), md5_params="cl")
+    return gt, lat
+
+
+class SpyHandler(OnlineHandler):
+    """Captures the exact inputs of the per-tick path generation so the
+    batched engine can be fed the identical warm-start state.  The zone
+    mask is recorded from the handler's own ``zones_to_node_mask`` call
+    (it mutates zone processing state, so recomputing would diverge)."""
+
+    def _online_path_gen(self, start_node, last_action_id, const_path_seg,
+                         pos_est, last_solution_nodes):
+        real = objmod.zones_to_node_mask
+        captured = {}
+
+        def recorder(zones, lat, start_layer):
+            captured["mask"] = real(zones, lat, start_layer)
+            return captured["mask"]
+
+        objmod.zones_to_node_mask = recorder
+        self.spy = dict(
+            start_node=(int(start_node[0]), int(start_node[1])),
+            last_action_id=last_action_id,
+            const_path_seg=(None if const_path_seg is None
+                            else np.array(const_path_seg, np.float32)),
+            pos_est=(None if pos_est is None
+                     else np.asarray(pos_est, np.float32)),
+            last_solution_nodes=(None if last_solution_nodes is None
+                                 else [list(n) for n in
+                                       last_solution_nodes]),
+        )
+        try:
+            out = super()._online_path_gen(start_node, last_action_id,
+                                           const_path_seg, pos_est,
+                                           last_solution_nodes)
+        finally:
+            objmod.zones_to_node_mask = real
+        self.spy["zone_mask"] = captured.get("mask")
+        return out
+
+
+def build_scenario(oth, lat, spy, cut_index_pos, vel_plan, vel_course,
+                   vel_est, pos_cut):
+    """Map one handler tick's captured state onto a Scenario pytree."""
+    start_layer, start_node = spy["start_node"]
+    seg = spy["const_path_seg"]
+    warm = seg is not None
+    const_path = np.zeros((sc.C_PAD, 5), np.float32)
+    psi_start = 0.0
+    cn = 0
+    if warm:
+        rows = seg[:-1]                     # exclusive prefix (OTH:415)
+        cn = rows.shape[0]
+        assert cn <= sc.C_PAD, f"const prefix {cn} exceeds C_PAD"
+        const_path[:cn] = rows
+        psi_start = float(seg[-1, 2])
+    assert cut_index_pos <= cn, (cut_index_pos, cn)
+
+    opos, orad, oact, owner = objmod.vehicles_to_arrays(oth.obj_veh, sc.O_PAD)
+    ovel = np.zeros(sc.O_PAD, np.float32)
+    for k in range(sc.O_PAD):
+        if owner[k] >= 0:
+            ovel[k] = oth.obj_veh[int(owner[k])].vel
+
+    # w_last chain exactly as handler._online_path_gen builds it
+    last_win = np.full(sc.N_LAST, -1, np.int32)
+    w_fac = np.ones(sc.N_LAST - 1, np.float32)
+    lsn = spy["last_solution_nodes"]
+    if lsn is not None:
+        k = min(len(lsn) - 1, len(oth.cfg.w_last_edges), sc.N_LAST - 1)
+        for i in range(k + 1):
+            if i < len(lsn):
+                last_win[i] = lsn[i][1]
+        for i in range(k):
+            w_fac[i] = oth.cfg.w_last_edges[i]
+
+    vc = np.zeros(sc.C_PAD, np.float32)
+    c_len = min(len(vel_course), sc.C_PAD)
+    vc[:c_len] = np.asarray(vel_course, np.float32)[:c_len]
+
+    la = spy["last_action_id"]
+    last_lr = {"left": pg.SLOT_LEFT, "right": pg.SLOT_RIGHT}.get(la, -1)
+
+    pos_path = spy["pos_est"]
+    if pos_path is None:
+        pos_path = np.asarray(pos_cut, np.float32)
+
+    scen = sc.Scenario(
+        start_layer=jnp.int32(start_layer),
+        start_node=jnp.int32(start_node),
+        vel_plan=jnp.float32(vel_plan),
+        vel_est=jnp.float32(vel_est),
+        obj_pos=jnp.asarray(opos),
+        obj_radius=jnp.asarray(orad),
+        obj_vel=jnp.asarray(ovel),
+        obj_active=jnp.asarray(oact),
+        obj_owner=jnp.asarray(owner),
+        pos_est=jnp.asarray(pos_path, jnp.float32),
+        pos_cut=jnp.asarray(pos_cut, jnp.float32),
+        const_path=jnp.asarray(const_path),
+        const_n=jnp.int32(cn),
+        cut_idx=jnp.int32(cut_index_pos),
+        warm=jnp.asarray(warm),
+        psi_start=jnp.float32(psi_start),
+        vel_course=jnp.asarray(vc),
+        c_len=jnp.int32(c_len),
+        last_nodes=jnp.asarray(last_win),
+        last_action_lr=jnp.int32(last_lr),
+    )
+    zone_block = spy["zone_mask"]
+    if zone_block is None:
+        zone_block = np.zeros((lat.L, lat.N), bool)
+    return scen, jnp.asarray(zone_block), jnp.asarray(w_fac)
+
+
+def _start_pose(gt):
+    refline = gt.refline
+    pos = refline[0, :].copy()
+    heading = float(np.arctan2(refline[1, 1] - refline[0, 1],
+                               refline[1, 0] - refline[0, 0]) - np.pi / 2)
+    return pos, heading
+
+
+def test_engine_replays_handler_lap(oval):
+    gt, lat = oval
+    oth = SpyHandler(lat, OnlineConfig())
+    obj_if = objmod.ObjectListInterface()
+    obj_if.set_track_data(np.asarray(lat.refline), np.asarray(lat.normvec),
+                          np.asarray(lat.track_width_left),
+                          np.asarray(lat.track_width_right))
+
+    # dynamic opponent replaying the raceline at reduced speed from ~100 m
+    raceline = np.asarray(lat.raceline)
+    s_rl = np.asarray(lat.s_rl)
+    track_len = float(s_rl[-1])
+    v_opp = 9.0
+
+    def obj_list(tick):
+        if tick < 8:
+            return []        # free-track phase -> 'straight' (case C)
+        s = (170.0 + v_opp * 0.1 * tick) % track_len
+        i = int(np.argmin(np.abs(s_rl - s)))
+        return [{"X": float(raceline[i, 0]), "Y": float(raceline[i, 1]),
+                 "theta": 0.0, "type": "physical", "id": 1, "length": 4.7,
+                 "v": v_opp}]
+
+    # static zone blocking the left half of layers 30-32
+    layers, nodes = [], []
+    nil = np.asarray(lat.nodes_in_layer)
+    for la in (30, 31, 32):
+        for n in range(int(nil[la]) // 2):
+            layers.append(la)
+            nodes.append(n)
+    zones = {"z1": [layers, nodes, np.zeros((2, 2)), np.zeros((2, 2))]}
+
+    pos, heading = _start_pose(gt)
+    ok = oth.set_initial_pose(pos, heading, 0.0, max_heading_offset=0.8)
+    assert ok == (True, True)
+
+    traj_set = {"straight": None}
+    vel = 0.0
+    n_ticks = 45
+    compared = 0
+    seen_actions = set()
+    for tick in range(n_ticks):
+        for sel_action in ("right", "left", "straight", "follow"):
+            if sel_action in traj_set:
+                break
+        obj_veh = obj_if.process_object_list(obj_list(tick))
+        obj_zone = []
+        for zid, zdata in zones.items():
+            obj_zone = obj_if.update_zone(zid, zdata, zone_type="nodes")
+        oth.update_objects(obj_veh, obj_zone)
+        oth.calc_paths(action_id_sel=sel_action, idx_sel_traj=0)
+        if traj_set[sel_action] is not None:
+            t = traj_set[sel_action][0]
+            pos, vel = vdc_dummy(pos, t[:, 0], t[:, 1:3], t[:, 5], 0.1)
+        cut_pos, cut_layer, vel_plan, vel_course, acc_plan = \
+            oth.get_ref_idx(sel_action, 0, pos)
+        traj_set = oth.calc_vel_profile(
+            cut_index_pos=cut_pos, cut_layer=cut_layer, vel_plan=vel_plan,
+            acc_plan=acc_plan, vel_course=vel_course, vel_est=vel,
+            vel_max=VEL_MAX, ax_max_machines=MACHINES, safety_d=SAFETY_D,
+            gg_scale=1.0, local_gg=(5.0, 5.0), incl_emerg_traj=True)[0]
+        assert traj_set, f"handler produced no action at tick {tick}"
+        seen_actions |= set(traj_set)
+
+        # ---- replay the identical tick through the batched engine ----------
+        scen, zone_block, w_fac = build_scenario(
+            oth, lat, oth.spy, cut_pos, vel_plan, vel_course, vel, pos)
+        out = sc.scenario_tick(
+            lat, scen, vel_max=VEL_MAX, gg_lim=(5.0, 5.0),
+            safety_d=SAFETY_D, machines=jnp.asarray(MACHINES),
+            dyn_model_exp=oth.dyn_model_exp, drag_coeff=oth.drag_coeff,
+            m_veh=oth.m_veh, zone_block=zone_block, w_last_factors=w_fac,
+            incl_emergency=True)
+        valid = np.asarray(out["valid"])
+        engine_names = {SLOT_NAME[s] for s in range(sc.N_OUT) if valid[s]}
+        assert engine_names == set(traj_set), \
+            f"tick {tick}: engine {sorted(engine_names)} != " \
+            f"handler {sorted(traj_set)}"
+
+        trajs = np.asarray(out["trajs"])
+        nv = np.asarray(out["n_valid"])
+        for s in range(sc.N_OUT):
+            if not valid[s]:
+                continue
+            bp = traj_set[SLOT_NAME[s]][0]
+            n = bp.shape[0]
+            assert int(nv[s]) == n, \
+                f"tick {tick} {SLOT_NAME[s]}: n_valid {int(nv[s])} != {n}"
+            et = trajs[s, :n]
+            # [s x y psi kappa v a] — float32 kernels, different fusion order
+            np.testing.assert_allclose(
+                et[:, 1:5], bp[:, 1:5], atol=1e-4,
+                err_msg=f"tick {tick} {SLOT_NAME[s]} geometry")
+            np.testing.assert_allclose(
+                et[:, 5], bp[:, 5], atol=5e-3,
+                err_msg=f"tick {tick} {SLOT_NAME[s]} velocity")
+            np.testing.assert_allclose(
+                et[:, 0], bp[:, 0], atol=1e-3,
+                err_msg=f"tick {tick} {SLOT_NAME[s]} arc length")
+            compared += 1
+
+    # the lap exercised the interesting branches
+    assert {"follow", "straight"} <= seen_actions, seen_actions
+    assert {"left", "right"} & seen_actions, seen_actions
+    assert compared >= n_ticks  # at least one action per tick compared
