@@ -79,12 +79,23 @@ def qp_vel_profile(kappa: jnp.ndarray,
                    m_veh: float = 1000.0,
                    w_smooth: float = 1e-4,
                    iters: int = 150,
-                   pin_idx=0):
+                   pin_idx=0,
+                   v_max_scale=None,
+                   x0_v=None):
     """QP-based velocity profile with the interface of
     :func:`ops.velocity.calc_vel_profile_fb` (padding no-ops via zero element
     lengths).  ``pin_idx`` is the (traced) profile-start index where
     ``v = v_start`` is enforced exactly (a zero-length-masked prefix may
     precede it).  Returns a (P,) velocity profile.
+
+    :param v_max: scalar or (P,) pointwise velocity cap — the pointwise form
+        carries the follow-mode opponent constraint of the reference SQP
+        planner (VpSQP.calc_vel_profile_follow:156-181 ``vmax_mps``).
+    :param v_max_scale: scalar used for the box normalization when ``v_max``
+        is pointwise (pass the behaviour-planner vel_max).
+    :param x0_v: optional (P,) cross-tick warm-start velocity guess (the
+        reference's MPC-shifted ``x0`` from IniSQPStatemachine,
+        VpSQP.py:86,213-217); None starts from the relaxed optimum.
     """
     P_ = kappa.shape[0]
     idx = jnp.arange(P_)
@@ -96,10 +107,14 @@ def qp_vel_profile(kappa: jnp.ndarray,
 
     if end_idx is None:
         end_idx = P_
+    v_max_pt = jnp.broadcast_to(jnp.asarray(v_max), (P_,))
+    if v_max_scale is None:
+        v_max_scale = jnp.max(v_max_pt)
+    v_max = v_max_scale
 
     # velocity caps
     v_lat2 = ay_max / jnp.maximum(kappa_abs, 1e-9)
-    x_hi = jnp.minimum(v_lat2, v_max ** 2)
+    x_hi = jnp.minimum(v_lat2, v_max_pt ** 2)
     if v_end is not None:
         x_hi = jnp.where(idx >= end_idx - 1, jnp.minimum(x_hi, v_end ** 2),
                          x_hi)
@@ -155,10 +170,26 @@ def qp_vel_profile(kappa: jnp.ndarray,
     # and on the pinned start row (equality)
     rho_box = jnp.where(pin_oh, 400.0, 5.0)
     rho_vec = jnp.concatenate([rho_box, jnp.full((2 * (n - 1),), 400.0)])
+    x0 = x_hi_n if x0_v is None else jnp.minimum(x0_v ** 2 / s_x, x_hi_n)
     x_n, _, res = admm_qp(Pmat, q, A, l, u, iters=iters, rho=rho_vec,
-                          x0=x_hi_n)
+                          x0=x0)
     x = jnp.clip(x_n * s_x, 0.0, x_hi)
     # exact start pin (the ADMM satisfies it only to solver tolerance, but
     # the handler's velocity-bound check is strict, OTH:905-911)
     x = jnp.where(pin_oh, jnp.minimum(v_start ** 2, x_hi), x)
     return jnp.sqrt(jnp.maximum(x, 0.0)), res
+
+
+def qp_solver_status(res: dict):
+    """Map ADMM residuals to the OSQP-style status codes the reference's
+    infeasibility handoff branches on (VpSQP.py:238-243, 415-430): ``-3``
+    primal infeasible, ``2`` solved inaccurately, ``0`` solved.
+
+    A fixed-iteration ADMM has no infeasibility certificate, so thresholds on
+    the scaled primal residual stand in (documented deviation, PARITY.md):
+    the dynamics rows operate in [0, 1]-scaled units where a residual of 1e-2
+    corresponds to multi-m/s^2 constraint violation.
+    """
+    r = res["r_prim"]
+    return jnp.where(r > 5e-2, jnp.int32(-3),
+                     jnp.where(r > 5e-3, jnp.int32(2), jnp.int32(0)))

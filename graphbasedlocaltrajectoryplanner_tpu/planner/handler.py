@@ -101,6 +101,11 @@ class OnlineHandler:
         self.last_bp_action_set = None  # {action: [np (n, 7)]}
         self.last_path_timestamp = None
         self.last_cut_idx = 0
+        # SQP cross-tick warm-start state (VpSQP.py:62-66, 86 + the external
+        # IniSQPStatemachine): previous solution per (plan, action) and the
+        # travelled-distance anchor for the MPC shift (VpSQP.py:297-340)
+        self.sqp_state = {}
+        self.sqp_s_glob_old = None
         self.pos_est = None
         self.action_id_forced = None
 
@@ -598,7 +603,10 @@ class OnlineHandler:
         lat = self.lat
         cfg = self.cfg
 
-        # normalize local gg (OTH:649-666)
+        # normalize local gg (OTH:649-666); a dict means per-point friction
+        # (the reference SQP's b_var_friction -> 3 m/s^2 tire-end assumption,
+        # VpSQP.py:74-79)
+        var_friction = isinstance(local_gg, dict)
         if not isinstance(local_gg, dict):
             if not isinstance(local_gg, tuple) or len(local_gg) != 2:
                 raise ValueError("Provided local_gg does not satisfy the "
@@ -701,6 +709,45 @@ class OnlineHandler:
                 c_len = min(len(vel_course), self.P)
                 vc_pad[:c_len] = vel_course[:c_len]
 
+                # ---- SQP warm start / conservative params (VpSQP.py) -----
+                sqp_x0 = None
+                sqp_key = None
+                tire_end_idx = 0
+                tire_end_mps2 = 5.0
+                if self.vp_backend == "sqp":
+                    plan = "f" if is_follow else "slr"
+                    sqp_key = (plan, action_id)
+                    x0 = self.sqp_state.get(sqp_key)
+                    if x0 is None:
+                        x0 = np.full(self.P, 20.0, np.float32)  # VpSQP:64
+                    step = float(lat.sampled_resolution)
+                    if plan == "slr":
+                        # MPC shift by the travelled distance (VpSQP:297-340)
+                        s_glob = hostmath.get_s_coord(
+                            self.np_raceline, param_vel[0, 0:2],
+                            self.np_s_rl, closed=True)[0]
+                        old = self.sqp_s_glob_old
+                        if old is None:
+                            push = 1
+                        elif np.round(s_glob) >= np.round(old):
+                            push = (0 if np.round(s_glob) == np.round(old)
+                                    else int(np.ceil((s_glob - old) / step)))
+                        elif old > s_glob and s_glob - old < -100:
+                            push = int(np.ceil(
+                                (s_glob + self.np_s_rl[-1] - old) / step))
+                        else:
+                            push = 1
+                        push = min(max(push, 0), self.P - 1)
+                        if push:
+                            x0 = np.concatenate(
+                                [x0[push:],
+                                 np.full(push, x0[-1], np.float32)])
+                        self.sqp_s_glob_old = s_glob
+                    sqp_x0 = jnp.asarray(x0, jnp.float32)
+                    tire_end_idx = int(np.ceil(cfg.delaycomp * 50 / step))
+                    tire_end_mps2 = (3.0 if var_friction
+                                     else float(gg_pad[0, 1]))
+
                 out = vp.velocity_kernel(
                     jnp.asarray(path_pad), jnp.int32(n_valid),
                     jnp.asarray(gg_pad), jnp.asarray(vc_pad),
@@ -718,7 +765,18 @@ class OnlineHandler:
                     self.dyn_model_exp, self.drag_coeff, self.m_veh,
                     control_type=cfg.controller_type,
                     filt_window=cfg.filt_window_width,
-                    vp_backend=self.vp_backend)
+                    vp_backend=self.vp_backend,
+                    sqp_x0=sqp_x0,
+                    is_overtake=action_id in ("left", "right"),
+                    veh_turn=float(lat.veh_turn),
+                    tire_end_idx=tire_end_idx,
+                    tire_end_mps2=tire_end_mps2)
+
+                # store the SQP solution for the next tick's warm start —
+                # skipped on infeasible solves (VpSQP.py:244, 433-434)
+                if sqp_key is not None and int(out["qp_status"]) != -3:
+                    self.sqp_state[sqp_key] = np.asarray(out["vx_sqp"],
+                                                         np.float32)
 
                 vel_bound = bool(out["vel_bound"])
                 if is_follow and bool(out["too_close"]):

@@ -102,15 +102,29 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     dyn_model_exp, drag_coeff, m_veh,
                     control_type: str = "PD",
                     filt_window: int = 1,
-                    vp_backend: str = "fb"):
+                    vp_backend: str = "fb",
+                    sqp_x0=None,
+                    is_overtake=False,
+                    veh_turn=7.0,
+                    tire_end_idx=0,
+                    tire_end_mps2=5.0):
     """Full per-action velocity profile (OTH:736-941).
 
     :param vp_backend: "fb" (forward-backward solver) or "sqp" (ADMM QP,
-        ops/qp.py) for the normal-branch profile — the reference's
-        ``vp_type`` seam (ltpl_config_online.ini VP section,
-        OTH:124-156).  Follow mode always uses the fb-based follow law.
+        ops/qp.py) — the reference's ``vp_type`` seam
+        (ltpl_config_online.ini VP section, OTH:124-156).  The SQP path
+        mirrors VpSQP.py: no brake prefix (OTH:745-760), QP-based follow
+        mode with the pointwise opponent vmax (VpSQP:146-259), conservative
+        tire/end-velocity assumptions (VpSQP:74-81, 361-364), solver-status
+        infeasibility handoff (VpSQP:238-243, 415-430), and no velocity
+        smoothing (OTH:927-933).
+    :param sqp_x0: (P,) cross-tick warm-start guess (SQP only; the handler
+        maintains the MPC-shifted per-action state, VpSQP.py:86,213-217).
+    :param is_overtake: left/right action — inaccurate SQP solutions are
+        zeroed (removed) rather than kept (VpSQP.py:419-426).
     :returns: dict(traj (P, 7) [s x y psi kappa vx ax], vel_bound bool,
-                   too_close bool)
+                   too_close bool; SQP adds vx_sqp (P,) raw profile for the
+                   warm-start store and qp_status int32)
     """
     P = path.shape[0]
     idx = jnp.arange(P)
@@ -166,6 +180,12 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     pref_idx = jnp.where(prefix_active, jnp.maximum(first_reach, vel_idx),
                          vel_idx)
     vel_start = jnp.where(prefix_active, v_decel[pref_idx], vel_plan)
+    if vp_backend == "sqp":
+        # the reference computes no brake prefix for the SQP planner —
+        # profile starts at the delay-compensation index from vel_plan
+        # (OTH:745-760)
+        pref_idx = vel_idx
+        vel_start = vel_plan
 
     # masked views representing "the profile from pref_idx onward"
     kappa_m = jnp.where(idx < pref_idx, 0.0, kappa)
@@ -253,12 +273,56 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     vx_follow = jnp.minimum(vx_follow, vx_compl)
 
     # ---- normal assembly (OTH:897-911) -------------------------------------
+    qp_status = jnp.int32(0)
+    vx_sqp = jnp.zeros((P,))
     if vp_backend == "sqp":
-        from graphbasedlocaltrajectoryplanner_tpu.ops.qp import qp_vel_profile
-        vx_normal, _ = qp_vel_profile(
-            kappa_m, el_n, gg_s, machines, vel_max, vel_start, v_end=v_end,
-            end_idx=v_idx, drag_coeff=drag_coeff, m_veh=m_veh,
-            pin_idx=pref_idx)
+        from graphbasedlocaltrajectoryplanner_tpu.ops.qp import (
+            qp_vel_profile, qp_solver_status)
+        # conservative tire assumption over the delay-compensation window at
+        # the QP horizon end + conservative terminal velocity from the
+        # vehicle turn radius (VpSQP.py:74-81, 222-224, 361-364)
+        in_tire_n = (idx >= v_idx - tire_end_idx) & (idx < v_idx)
+        gg_sqp_n = jnp.where(in_tire_n[:, None], tire_end_mps2, gg_s)
+        v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
+        x0v = sqp_x0 if sqp_x0 is not None else jnp.full((P,), 20.0)
+        vx_qn, res_n = qp_vel_profile(
+            kappa_m, el_n, gg_sqp_n, machines, vel_max, vel_start,
+            v_end=v_end_consv, end_idx=v_idx, drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=pref_idx, x0_v=x0v)
+        st_n = qp_solver_status(res_n)
+        # infeasibility / inaccuracy handoff: straight+follow zero only on
+        # infeasible (-3) -> vel_bound False -> handler's backup ladder;
+        # overtakes are also removed on inaccurate solves (VpSQP:415-430)
+        zero_n = (st_n == -3) | (jnp.asarray(is_overtake) & (st_n == 2))
+        vx_normal = jnp.where(zero_n, 0.0, vx_qn)
+
+        # follow mode via QP: pointwise opponent vmax — free running to the
+        # safety gap, opponent-braking-assumption curve beyond, single
+        # depleted sample at 2 m/s then v_obj (VpSQP:146-181 exact fill)
+        d_free = obj_dist - safety_d - veh_length
+        axc = gg_s[0, 0]
+        rt = v_obj ** 2 - 2.0 * axc * jnp.maximum(s_f - d_free, 0.0)
+        depleted = rt < 0.0
+        first_dep = jnp.argmax(depleted)
+        has_dep = depleted[first_dep]
+        v_opp_cap = jnp.where(depleted & has_dep,
+                              jnp.where(idx == first_dep, 2.0, v_obj),
+                              jnp.sqrt(jnp.maximum(rt, 0.0)))
+        vmax_f = jnp.where(s_f < d_free, vel_max, v_opp_cap)
+        in_tire_f = (idx >= n_valid - tire_end_idx) & (idx < n_valid)
+        gg_sqp_f = jnp.where(in_tire_f[:, None], tire_end_mps2, gg_s)
+        vx_qf, res_f = qp_vel_profile(
+            kappa_m, el_m, gg_sqp_f, machines, vmax_f, vel_start,
+            v_end=v_end_consv, end_idx=n_valid, drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=pref_idx, x0_v=x0v, v_max_scale=vel_max)
+        st_f = qp_solver_status(res_f)
+        vx_follow = jnp.where(st_f == -3, 0.0, vx_qf)
+        # SQP follow never raises too_close (VpSQP:246-247)
+        too_close = jnp.asarray(False)
+        follow_bound_sqp = jnp.abs(vx_follow[pref_idx] - vel_start) \
+            < v_max_offset
+        qp_status = jnp.where(is_follow, st_f, st_n)
+        vx_sqp = jnp.where(is_follow, vx_follow, vx_normal)
     # zeros beyond the (possibly reduced) profile end (OTH:900-903)
     vx_normal = jnp.where(idx >= v_idx, 0.0, vx_normal)
     # degenerate range -> all-zero profile (OTH:897-898)
@@ -267,6 +331,8 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
     normal_bound = jnp.abs(vx_normal[pref_idx] - vel_start) < v_max_offset
     normal_bound = jnp.where(degenerate, False, normal_bound)
+    if vp_backend == "sqp":
+        follow_bound = follow_bound_sqp
 
     # ---- select / merge (OTH:918-923) -------------------------------------
     use_normal = ~is_follow
@@ -282,7 +348,9 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                         jnp.where(idx < pref_idx, v_decel, vx_branch))
 
     # ---- smoothing + acceleration (OTH:925-941) ---------------------------
-    vx_f = velops.conv_filt(vx_full, filt_window)
+    # the reference filters only for the fb planner (OTH:927-933)
+    vx_f = (vx_full if vp_backend == "sqp"
+            else velops.conv_filt(vx_full, filt_window))
     ax = velops.calc_ax_profile(vx_f, el)
     stationary = jnp.isclose(vx_f[:-1], 0.0) & jnp.isclose(ax, 0.0) \
         & (idx[:-1] < n_valid - 1)
@@ -294,7 +362,8 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     return dict(traj=traj, vel_bound=vel_bound, too_close=too_close,
                 pref_idx=pref_idx, vel_start=vel_start,
                 follow_v_control=follow_v_control,
-                follow_control_d=follow_control_d)
+                follow_control_d=follow_control_d,
+                vx_sqp=vx_sqp, qp_status=qp_status)
 
 
 @partial(jax.jit, static_argnames=("control_type", "follow_slot"))
