@@ -29,18 +29,34 @@ class ReplayReport:
     ticks: int = 0
     actions_checked: int = 0
     edge_violations: int = 0
-    node_mismatches: int = 0
+    node_mismatches: int = 0        # informational: held-path divergences
+    node_mismatch_failures: int = 0  # mismatches w_last discounting CANNOT
+    #                                  explain by cost accounting -> gate
     details: list = dataclasses.field(default_factory=list)
 
     @property
     def ok(self) -> bool:
-        return self.edge_violations == 0
+        return self.edge_violations == 0 \
+            and self.node_mismatch_failures == 0
 
 
 def replay_validate(data_csv: str, lat: Lattice,
-                    check_optimality: bool = True) -> ReplayReport:
+                    check_optimality: bool = True,
+                    w_last_edges=(0.0, 0.5, 0.8),
+                    cost_tol: float = 1e-3) -> ReplayReport:
+    """Validate a logged lap.  A recomputed-optimum mismatch FAILS the run
+    unless w_last_edges discounting can account for it: the logged chain's
+    undiscounted cost may exceed the fresh optimum by at most the discount
+    shavings on its first ``len(w_last_edges)`` edges (the live run
+    multiplied exactly those edge weights by the factors), i.e.
+
+        cost(logged) - cost(optimal) <= sum_i w_edge_i * (1 - fac_i) + tol.
+
+    Anything beyond that bound cannot be a legitimate warm-start hold and
+    counts as ``node_mismatch_failures`` (gate; ``ok`` turns False)."""
     rows = read_data_log(data_csv)
     ev = np.asarray(lat.edge_valid)
+    w_np = np.asarray(lat.w)
     L = lat.L
     rep = ReplayReport()
 
@@ -96,17 +112,34 @@ def replay_validate(data_csv: str, lat: Lattice,
             h_eff = len(suffix) - 1
             if h_eff > lat.H_max:
                 continue
-            nodes, _ = pg.backtrace_slot(out["best"][pg.SLOT_STRAIGHT],
-                                         out["bp"][pg.SLOT_STRAIGHT],
-                                         out["vg"][pg.SLOT_STRAIGHT],
-                                         jnp.int32(h_eff))
+            nodes, cost_opt = pg.backtrace_slot(out["best"][pg.SLOT_STRAIGHT],
+                                                out["bp"][pg.SLOT_STRAIGHT],
+                                                out["vg"][pg.SLOT_STRAIGHT],
+                                                jnp.int32(h_eff))
             nodes = np.asarray(nodes)[:h_eff + 1]
             logged = np.array([c[1] for c in suffix])
-            # w_last_edges discounting in the live run can legitimately hold
-            # the path on the previous solution — count but don't fail
             mism = int(np.sum(nodes != logged))
             if mism:
                 rep.node_mismatches += mism
-                rep.details.append(dict(tick=rep.ticks, action="straight",
-                                        kind="node_mismatch", count=mism))
+                # cost accounting: is the divergence explainable as a
+                # w_last_edges warm-start hold?
+                vg = np.asarray(out["vg"][pg.SLOT_STRAIGHT])
+                layers = [(int(start_node[0]) + i) % L
+                          for i in range(h_eff + 1)]
+                edge_w = [float(w_np[layers[i], int(suffix[i][1]),
+                                     int(suffix[i + 1][1])])
+                          for i in range(h_eff)]
+                cost_logged = float(np.sum(edge_w)) \
+                    + float(vg[h_eff, int(suffix[-1][1])])
+                explained = sum(
+                    edge_w[i] * (1.0 - w_last_edges[i])
+                    for i in range(min(len(w_last_edges), h_eff)))
+                excess = cost_logged - float(cost_opt)
+                hard = excess > explained + cost_tol
+                if hard:
+                    rep.node_mismatch_failures += 1
+                rep.details.append(dict(
+                    tick=rep.ticks, action="straight", kind="node_mismatch",
+                    count=mism, excess_cost=excess,
+                    w_last_explainable=explained, gate_failure=hard))
     return rep

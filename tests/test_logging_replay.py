@@ -72,3 +72,41 @@ def test_log_roundtrip_and_replay(tmp_path):
     assert rep.ok, rep.details           # no invalid edges in logged chains
     # optimum re-check: mismatches possible only via w_last discounting
     assert rep.node_mismatches <= rep.actions_checked
+
+    # ---- gate: a corrupted chain that w_last discounting cannot explain
+    # must FAIL the run (VERDICT round-1 item 10) -------------------------
+    import graphbasedlocaltrajectoryplanner_tpu.utils.replay as replay_mod
+    ev = np.asarray(lat.edge_valid)
+    L = lat.L
+    tampered = None
+    for row in rows[5:]:
+        chain = row["nodes_list"]["straight"][0]
+        clean = [c for c in chain if c[0] is not None]
+        k = clean.index([int(row["start_node"][0]),
+                         int(row["start_node"][1])])
+        # pick an interior suffix node beyond the w_last window and shift it
+        # to another node that keeps both adjacent edges valid
+        for off in range(4, len(clean) - 1 - k):
+            i = clean.index(clean[k + off])
+            la_prev, na_prev = clean[i - 1]
+            la, na = clean[i]
+            lb, nb = clean[i + 1]
+            for cand in range(int(np.asarray(lat.nodes_in_layer)[la])):
+                if cand != na and ev[la_prev % L, na_prev, cand] \
+                        and ev[la % L, cand, nb]:
+                    chain[chain.index([la, na])] = [la, cand]
+                    tampered = True
+                    break
+            if tampered:
+                break
+        if tampered:
+            break
+    assert tampered, "could not construct a tampered chain"
+    real_reader = replay_mod.read_data_log
+    replay_mod.read_data_log = lambda p: rows
+    try:
+        rep2 = replay_validate(log_path, lat)
+    finally:
+        replay_mod.read_data_log = real_reader
+    assert rep2.node_mismatch_failures >= 1, rep2.details
+    assert not rep2.ok
