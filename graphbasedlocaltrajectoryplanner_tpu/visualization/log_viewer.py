@@ -1,9 +1,11 @@
 """Offline log viewer / replay tool — counterpart of the reference's
 ``visualization/src/visualize_graph_log.py``: load a ``*_data.csv`` run log
 plus the archived lattice, render any logged timestamp (track, planned
-action-set trajectories, objects, zones, ego position), and optionally
-re-validate the logged node chains against the lattice
-(``utils/replay.replay_validate``).
+action-set trajectories, objects, zones, ego position), ingest the run's
+``*_msg.csv`` message log for timeline highlighting
+(visualize_graph_log.py:455-460, 338-348), re-validate each displayed tick
+while scrubbing (:209-234; badge in the title), and optionally validate the
+whole log (``utils/replay.replay_validate``).
 
 Usage:
     python -m graphbasedlocaltrajectoryplanner_tpu.visualization.log_viewer \
@@ -15,12 +17,57 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 from graphbasedlocaltrajectoryplanner_tpu.models.lattice import load_lattice
 from graphbasedlocaltrajectoryplanner_tpu.utils.logging import read_data_log
+
+MSG_COLORS = {"DEBUG": "tab:gray", "INFO": "tab:green",
+              "WARNING": "tab:orange", "ERROR": "tab:red",
+              "CRITICAL": "darkred"}
+# reference EventHandler.__time_threshold_msgs analogue: messages within
+# this window of the displayed tick are surfaced
+MSG_TIME_THRESHOLD = 0.5
+
+
+def read_msg_log(path: str):
+    """Parse a ``*_msg.csv`` (``time;type;message``, the facade's message
+    channel) into a list of (time, level, message) tuples
+    (visualize_graph_log.py:455-460)."""
+    out = []
+    with open(path) as fh:
+        for i, ln in enumerate(fh.read().splitlines()):
+            if i == 0 and ln.startswith("time;"):
+                continue
+            parts = ln.split(";", 2)
+            if len(parts) != 3:
+                continue
+            try:
+                out.append((float(parts[0]), parts[1], parts[2]))
+            except ValueError:
+                continue
+    return out
+
+
+def messages_near(msgs, t, threshold=MSG_TIME_THRESHOLD):
+    """Messages within ``threshold`` seconds of timestamp ``t``."""
+    return [m for m in msgs if abs(m[0] - t) <= threshold]
+
+
+def tick_badge(lat, row):
+    """Per-displayed-tick re-validation badge (the reference viewer's
+    per-scrub RECALC_VALIDATION, visualize_graph_log.py:209-234)."""
+    from graphbasedlocaltrajectoryplanner_tpu.utils.replay import validate_row
+    rep = validate_row(lat, row)
+    if rep.edge_violations or rep.node_mismatch_failures:
+        return ("INVALID (%d edge, %d cost-gate)"
+                % (rep.edge_violations, rep.node_mismatch_failures), "red")
+    if rep.node_mismatches:
+        return "valid (w_last hold)", "darkorange"
+    return "valid", "green"
 
 
 def render_tick(ax, lat, row, title=None):
@@ -153,7 +200,6 @@ def main(argv=None):
     # follow-mode debug figure, auto-detected next to the data log
     # (reference visualize_graph_log.py:395-397 path derivation)
     follow_path = args.data.replace("_data.csv", "_follow.csv")
-    import os
     if os.path.isfile(follow_path):
         ffig = plot_follow_debug(follow_path)
         if ffig is not None and args.out:
@@ -161,20 +207,59 @@ def main(argv=None):
             ffig.savefig(fout, dpi=120)
             print("wrote", fout)
 
-    fig, ax = plt.subplots(figsize=(10, 8))
+    # message log, auto-detected next to the data log
+    # (visualize_graph_log.py:455-460)
+    msg_path = args.data.replace("_data.csv", "_msg.csv")
+    msgs = read_msg_log(msg_path) if os.path.isfile(msg_path) else []
+    if msgs:
+        print(f"{len(msgs)} logged messages")
+
+    def full_title(i):
+        row = rows[i]
+        badge, color = tick_badge(lat, row)
+        near = messages_near(msgs, float(row.get("time") or 0.0))
+        msg_line = ""
+        if near:
+            lv, m = near[-1][1], near[-1][2]
+            msg_line = f"\n[{lv}] {m[:90]}"
+        return f"tick {i} / {len(rows) - 1} — {badge}{msg_line}", color
+
     idx = args.tick if args.tick >= 0 else len(rows) + args.tick
-    render_tick(ax, lat, rows[idx], title=f"tick {idx} / {len(rows) - 1}")
+    fig, ax = plt.subplots(figsize=(10, 8))
+    title, color = full_title(idx)
+    render_tick(ax, lat, rows[idx], title=title)
+    ax.title.set_color(color)
+
+    # message timeline under the main axes: markers colored by level, with
+    # a cursor at the displayed tick (PlotHandler.highlight_timeline
+    # analogue for the offline viewer)
+    t0 = float(rows[0].get("time") or 0.0)
+    tick_times = [float(r.get("time") or 0.0) - t0 for r in rows]
+    cursor = None
+    if msgs and not args.out:
+        fig.subplots_adjust(bottom=0.22)
+        tax = fig.add_axes([0.15, 0.10, 0.7, 0.05])
+        tax.set_yticks([])
+        tax.set_xlabel("t in s (messages)")
+        for mt, lv, _ in msgs:
+            tax.axvline(mt - t0, color=MSG_COLORS.get(lv, "k"), lw=1.2,
+                        alpha=0.8)
+        tax.set_xlim(min(tick_times), max(max(tick_times), 1e-3))
+        cursor = tax.axvline(tick_times[idx], color="b", lw=2)
 
     if args.interactive and not args.out:
         from matplotlib.widgets import Slider
-        fig.subplots_adjust(bottom=0.12)
         sax = fig.add_axes([0.15, 0.03, 0.7, 0.03])
         slider = Slider(sax, "tick", 0, len(rows) - 1, valinit=idx, valstep=1)
 
         def update(val):
+            i = int(val)
             ax.clear()
-            render_tick(ax, lat, rows[int(val)],
-                        title=f"tick {int(val)} / {len(rows) - 1}")
+            title, color = full_title(i)
+            render_tick(ax, lat, rows[i], title=title)
+            ax.title.set_color(color)
+            if cursor is not None:
+                cursor.set_xdata([tick_times[i], tick_times[i]])
             fig.canvas.draw_idle()
 
         slider.on_changed(update)

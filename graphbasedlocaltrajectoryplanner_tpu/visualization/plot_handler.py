@@ -26,6 +26,36 @@ TUM_COLORS = {
 }
 
 
+def edge_hover_info(tables: dict, l: int, n: int):
+    """Per-child edge-cost readout for the hover annotation
+    (PlotHandler.py:823-849): one line per outgoing edge with the offline
+    cost and the squared avg/peak curvature, plus None-separated polyline
+    coords highlighting the children.
+
+    Curvature is estimated from the stored sample polyline (the dense
+    lattice keeps xy samples, not the spline kappa column — finite
+    differences of heading over arc length)."""
+    ev, w, samples, L = (tables["ev"], tables["w"], tables["samples"],
+                         tables["L"])
+    children = np.nonzero(ev[l, n])[0]
+    xs, ys, lines = [], [], []
+    for m in children:
+        seg = samples[l, n, m]                               # (S, 2)
+        xs.extend(seg[:, 0]); xs.append(None)
+        ys.extend(seg[:, 1]); ys.append(None)
+        d = np.diff(seg, axis=0)
+        psi = np.arctan2(d[:, 1], d[:, 0])
+        dpsi = np.unwrap(np.diff(psi))
+        ds = 0.5 * (np.hypot(*d[1:].T) + np.hypot(*d[:-1].T))
+        kappa = dpsi / np.maximum(ds, 1e-9)
+        k_avg = float(np.mean(np.abs(kappa)) ** 2) if kappa.size else 0.0
+        k_peak = float(abs(kappa.max() - kappa.min()) ** 2) \
+            if kappa.size else 0.0
+        lines.append("[%d-%d]: %.3f (k_av2: %.3f, k_peak2: %.3f)"
+                     % (n, m, float(w[l, n, m]), k_avg, k_peak))
+    return "\n".join(lines), xs, ys
+
+
 class PlotHandler:
     def __init__(self, plot_title: str = "Graph-LTPL (TPU)",
                  include_timeline: bool = False):
@@ -115,6 +145,10 @@ class PlotHandler:
         self._node_pos_flat = pos[valid]
         self._node_idx_flat = np.stack([ls, ns], axis=1)
         self._vg_cost_flat = np.asarray(lat.vg_cost)[valid]
+        self._hover_tables = dict(
+            ev=np.asarray(lat.edge_valid), w=np.asarray(lat.w),
+            samples=np.asarray(lat.samples_xy), psi=np.asarray(lat.node_psi),
+            L=lat.L)
 
         plt_edges = None
         if plot_edges:
@@ -153,6 +187,10 @@ class PlotHandler:
         self._hover_marker, = self._ax.plot([], [], "o",
                                             color=TUM_COLORS["TUM_orange"],
                                             ms=8, zorder=30)
+        # child-edge highlight (reference PlotHandler._edge_plot_marker)
+        self._hover_edges, = self._ax.plot([], [], "-",
+                                           color=TUM_COLORS["TUM_orange"],
+                                           lw=1.6, zorder=29)
         self._hover_ann = self._ax.annotate(
             "", xy=(0, 0), xytext=(12, 12), textcoords="offset points",
             bbox=dict(boxstyle="round", fc="w"),
@@ -182,12 +220,17 @@ class PlotHandler:
             self._hover_marker.set_data([p[0]], [p[1]])
             self._hover_ann.xy = (p[0], p[1])
             vg = self._vg_cost_flat[i]
+            cost_str, ex, ey = edge_hover_info(self._hover_tables,
+                                               int(l), int(n))
+            psi = self._hover_tables["psi"][l, n]
             self._hover_ann.set_text(
-                f"layer {l}, node {n}\n({p[0]:.1f}, {p[1]:.1f})\n"
-                f"goal cost {vg:.1f}")
+                f"Layer ID: {l}\nNode ID: {n}\nPSI: {psi:.3f}\n"
+                f"goal cost {vg:.1f}\nCost:\n{cost_str}")
+            self._hover_edges.set_data(ex, ey)
             self._hover_ann.set_visible(True)
         else:
             self._hover_marker.set_data([], [])
+            self._hover_edges.set_data([], [])
             self._hover_ann.set_visible(False)
         self._fig.canvas.draw_idle()
 

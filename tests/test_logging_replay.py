@@ -110,3 +110,42 @@ def test_log_roundtrip_and_replay(tmp_path):
         replay_mod.read_data_log = real_reader
     assert rep2.node_mismatch_failures >= 1, rep2.details
     assert not rep2.ok
+
+
+def test_msg_log_and_tick_badge(tmp_path):
+    """Viewer-side message ingestion + per-tick validation badge
+    (visualize_graph_log.py:455-460, 209-234)."""
+    from graphbasedlocaltrajectoryplanner_tpu.visualization.log_viewer import (
+        read_msg_log, messages_near, tick_badge)
+
+    msg = tmp_path / "run_msg.csv"
+    msg.write_text("time;type;message\n"
+                   "100.0;INFO;started\n"
+                   "100.45;WARNING;One trajectory generation; took long\n"
+                   "103.0;CRITICAL;track blocked\n")
+    msgs = read_msg_log(str(msg))
+    assert len(msgs) == 3
+    assert msgs[1][1] == "WARNING"
+    assert msgs[1][2] == "One trajectory generation; took long"  # ; kept
+    near = messages_near(msgs, 100.2)
+    assert [m[1] for m in near] == ["INFO", "WARNING"]
+    assert messages_near(msgs, 200.0) == []
+
+    # badge: a clean logged tick validates green
+    gt = make_oval_track()
+    lat = latmod.build_lattice(gt, OfflineConfig(), md5_params="log")
+    from graphbasedlocaltrajectoryplanner_tpu.planner.handler import (
+        OnlineHandler)
+    from graphbasedlocaltrajectoryplanner_tpu.utils.config import OnlineConfig
+    oth = OnlineHandler(lat, OnlineConfig())
+    refline = gt.refline
+    heading = float(np.arctan2(refline[1, 1] - refline[0, 1],
+                               refline[1, 0] - refline[0, 0]) - np.pi / 2)
+    oth.set_initial_pose(refline[0, :], heading, 0.0, max_heading_offset=0.8)
+    oth.update_objects([], [])
+    _, start_node, node_list, _ = oth.calc_paths("straight", 0)
+    row = dict(time=0.0, start_node=list(start_node), obj_veh=[],
+               nodes_list={k: [[list(x) for x in c] for c in v]
+                           for k, v in node_list.items()})
+    badge, color = tick_badge(lat, row)
+    assert color in ("green", "darkorange"), (badge, color)

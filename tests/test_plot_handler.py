@@ -72,7 +72,15 @@ def test_hover_annotates_nearest_node(lat):
     ph._onhover(_Ev())
     assert ph._hover_ann.get_visible()
     l, n = ph._node_idx_flat[7]
-    assert f"layer {l}, node {n}" in ph._hover_ann.get_text()
+    text = ph._hover_ann.get_text()
+    assert f"Layer ID: {l}" in text and f"Node ID: {n}" in text
+    # edge-cost inspection (reference PlotHandler.py:823-849): one cost line
+    # per outgoing edge, and the child polylines highlighted
+    ev = np.asarray(lat.edge_valid)
+    n_children = int(ev[l, n].sum())
+    assert text.count("k_av2") == n_children
+    xs = ph._hover_edges.get_xdata()
+    assert len(xs) == n_children * (lat.S + 1)   # S samples + None breaks
 
     class _Far:
         inaxes = ph._ax
@@ -113,3 +121,19 @@ def test_timeline_and_vehicle_footprint(lat, tmp_path):
     ph.save(str(out))
     assert out.stat().st_size > 10_000
     ph._plt.close("all")
+
+
+def test_edge_hover_info_costs_match_lattice(lat):
+    from graphbasedlocaltrajectoryplanner_tpu.visualization.plot_handler \
+        import edge_hover_info
+    tables = dict(ev=np.asarray(lat.edge_valid), w=np.asarray(lat.w),
+                  samples=np.asarray(lat.samples_xy),
+                  psi=np.asarray(lat.node_psi), L=lat.L)
+    l, n = 3, int(np.asarray(lat.rl_idx)[3])
+    text, xs, ys = edge_hover_info(tables, l, n)
+    children = np.nonzero(tables["ev"][l, n])[0]
+    assert len(text.splitlines()) == len(children)
+    for line, m in zip(text.splitlines(), children):
+        assert line.startswith(f"[{n}-{m}]:")
+        cost = float(line.split(":")[1].split("(")[0])
+        assert abs(cost - float(tables["w"][l, n, m])) < 5e-3
