@@ -601,12 +601,17 @@ def make_batched_tick(lat: Lattice, use_pallas: bool = None, **kw):
 
 def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
                       use_pallas: bool = None, **kw):
-    """Mesh-sharded tick: scenarios data-parallel over the ``dp`` axis with
-    fleet statistics reduced over ICI collectives (``pmin``/``psum``) —
+    """Mesh-sharded tick: scenarios data-parallel over every mesh axis with
+    fleet statistics reduced over XLA collectives (``pmin``/``psum``) —
     replacing what would be NCCL allreduce elsewhere (SURVEY.md section 5,
     "Distributed communication backend").
 
-    :returns: jitted fn scen(batch sharded over dp) ->
+    Single-host meshes use one ``dp`` axis (collectives ride ICI).
+    Multi-host meshes from :func:`parallel.distributed.make_dist_mesh`
+    add an outer ``dcn`` axis (one row per process); the batch shards over
+    ``(dcn, dp)`` and the fleet reductions cross hosts over DCN.
+
+    :returns: jitted fn scen(batch sharded over the mesh axes) ->
         (results with batch axis, stats dict of fleet reductions)
     """
     if use_pallas is None:
@@ -617,8 +622,10 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
             import build_samples_t
         samples_t = build_samples_t(lat.samples_xy)
 
+    axes = tuple(mesh.axis_names)
+
     def shard_body(scen):
-        # runs per (dp, mp) shard; scen leaves carry the local dp slice
+        # runs per mesh shard; scen leaves carry the local batch slice
         if use_pallas:
             obs, window = _batched_window(lat, scen, samples_t)
             res = jax.vmap(
@@ -627,20 +634,21 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
                 scen, obs, window)
         else:
             res = jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
-        # fleet statistics: genuine cross-device collectives over dp
+        # fleet statistics: genuine cross-device (and cross-host, when a
+        # dcn axis is present) collectives
         cost = jnp.where(res["valid"], res["cost"], jnp.inf)
         best_local = jnp.min(cost)
         n_valid_actions = jnp.sum(res["valid"].astype(jnp.int32))
         stats = dict(
-            fleet_min_cost=jax.lax.pmin(best_local, axis_name="dp"),
-            fleet_actions=jax.lax.psum(n_valid_actions, axis_name="dp"),
+            fleet_min_cost=jax.lax.pmin(best_local, axis_name=axes),
+            fleet_actions=jax.lax.psum(n_valid_actions, axis_name=axes),
         )
         return res, stats
 
     shmapped = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(jax.sharding.PartitionSpec("dp"),),
-        out_specs=(jax.sharding.PartitionSpec("dp"),
+        in_specs=(jax.sharding.PartitionSpec(axes),),
+        out_specs=(jax.sharding.PartitionSpec(axes),
                    jax.sharding.PartitionSpec()),
         # scan carries start from replicated constants; skip the
         # varying-manual-axes consistency check

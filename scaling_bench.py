@@ -17,13 +17,75 @@ import time
 import numpy as np
 
 
+def run_multihost(n_proc: int, cpu_devices_per_proc: int, batch_per_device,
+                  iters):
+    """Orchestrate an N-process run on this machine (one coordinator +
+    N-1 peers, cross-process collectives over the loopback 'DCN'); each
+    worker re-executes this script with --mh-worker."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:          # pick a free port for rank 0
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for r in range(n_proc):
+        env = dict(os.environ,
+                   GLTPL_NUM_PROCESSES=str(n_proc),
+                   GLTPL_PROCESS_ID=str(r),
+                   GLTPL_COORDINATOR=f"localhost:{port}")
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--mh-worker",
+             "--cpu-devices", str(cpu_devices_per_proc),
+             "--batch-per-device", str(batch_per_device),
+             "--iters", str(iters)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__))))
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        if p.returncode != 0:
+            raise SystemExit(f"worker failed rc={p.returncode}:\n{se[-2000:]}")
+    reports = [json.loads(so.strip().splitlines()[-1]) for so, _ in outs]
+    # every process must agree on the fleet stats (they come out of
+    # cross-process collectives)
+    assert len({r["fleet_actions"] for r in reports}) == 1, reports
+    assert len({round(r["fleet_min_cost"], 3) for r in reports}) == 1, reports
+    r0 = reports[0]
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/SCALING_MULTIHOST.json", "w") as fh:
+        json.dump(dict(reports=reports), fh, indent=1)
+    print(f"multihost: processes={r0['process_count']} "
+          f"global_devices={r0['global_devices']} batch={r0['batch']} "
+          f"replans/s={r0['replans_per_sec']:.1f} "
+          f"fleet_actions={r0['fleet_actions']}")
+    print(json.dumps({
+        "metric": "multihost_fleet_agreement",
+        "value": 1.0,
+        "unit": "bool",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-devices", type=int, default=0,
                     help="force N virtual CPU devices (0 = use real devices)")
     ap.add_argument("--batch-per-device", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--multihost", type=int, default=0,
+                    help="spawn N local processes with jax.distributed and "
+                         "run the sharded tick over the (dcn, dp) mesh")
+    ap.add_argument("--mh-worker", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.multihost:
+        run_multihost(args.multihost,
+                      cpu_devices_per_proc=args.cpu_devices or 4,
+                      batch_per_device=args.batch_per_device,
+                      iters=args.iters)
+        return
 
     if args.cpu_devices:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -32,6 +94,15 @@ def main():
     import jax
     if args.cpu_devices:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.mh_worker:
+        from graphbasedlocaltrajectoryplanner_tpu.parallel.distributed \
+            import init_distributed, run_multihost_selftest
+        init_distributed()
+        rep = run_multihost_selftest(batch_per_device=args.batch_per_device,
+                                     iters=args.iters)
+        print(json.dumps(rep))
+        return
 
     from graphbasedlocaltrajectoryplanner_tpu.models.track import make_oval_track
     from graphbasedlocaltrajectoryplanner_tpu.models.lattice import build_lattice
