@@ -90,6 +90,14 @@ def main():
     except Exception as e:            # pragma: no cover
         details["latency_error"] = str(e)
 
+    # per-stage breakdown + roofline accounting (VERDICT round-1 item 9)
+    try:
+        from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling import (
+            stage_timings)
+        details["stages"] = stage_timings(lat, scen, iters=10)
+    except Exception as e:            # pragma: no cover
+        details["stages_error"] = str(e)
+
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)
     with open(os.path.join(os.path.dirname(CACHE), "BENCH_DETAILS.json"),
               "w") as fh:

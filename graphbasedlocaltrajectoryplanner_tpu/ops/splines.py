@@ -84,7 +84,9 @@ def _thomas(lower, diag, upper, rhs):
         d_new = (d - a * d_prev) / denom
         return (c_new, d_new), (c_new, d_new)
 
-    init = (jnp.zeros(()), jnp.zeros(rhs.shape[1:]))
+    # carry inits derived from the inputs (not fresh constants) so their
+    # varying-manual-axes type matches inside shard_map (shard_map.html#scan-vma)
+    init = (diag[0] * 0.0, rhs[0] * 0.0)
     _, (c_p, d_p) = jax.lax.scan(fwd, init, (lower, diag, upper, rhs))
 
     def bwd(x_next, inp):
@@ -92,7 +94,7 @@ def _thomas(lower, diag, upper, rhs):
         x = d - c * x_next
         return x, x
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros(rhs.shape[1:]), (c_p, d_p), reverse=True)
+    _, xs = jax.lax.scan(bwd, rhs[0] * 0.0, (c_p, d_p), reverse=True)
     return xs
 
 

@@ -242,7 +242,8 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                   zone_block: jnp.ndarray = None,
                   w_last_factors: jnp.ndarray = None,
                   incl_emergency: bool = True,
-                  precomputed: dict = None):
+                  precomputed: dict = None,
+                  until: str = None):
     """One full action-set replan for a single scenario (jit/vmap-able).
 
     Implements the reference's complete per-tick semantics in-graph:
@@ -268,6 +269,10 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         obstacle selection and DP results already computed (the Pallas
         batched path, :func:`make_batched_tick`); None computes them here
         via the XLA scan kernel.
+    :param until: staging cutoff for the per-stage profiler
+        (parallel/profiling.py): ``"assembly"`` returns right after the
+        const-path splice, skipping velocity + emergency.  None (default)
+        runs the full tick.
     """
     if machines is None:
         machines = jnp.array([[0.0, 5.0], [100.0, 5.0]], jnp.float32)
@@ -445,6 +450,10 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                 (4, P_full, 5)),
             res_all["path"][:, gather_new, :])
         n_valid_full = res_all["n_valid"] + cn
+
+    if until == "assembly":
+        return dict(paths=paths_full, n_valid=n_valid_full, cost=cost_all,
+                    h_eff=h4, valid=valid4)
 
     # ---- velocity stage over the spliced paths -----------------------------
     gg = jnp.broadcast_to(jnp.asarray(gg_lim, jnp.float32), (P_full, 2))
@@ -650,8 +659,5 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
         in_specs=(jax.sharding.PartitionSpec(axes),),
         out_specs=(jax.sharding.PartitionSpec(axes),
                    jax.sharding.PartitionSpec()),
-        # scan carries start from replicated constants; skip the
-        # varying-manual-axes consistency check
-        check_vma=False,
     )
     return jax.jit(shmapped)
