@@ -65,6 +65,10 @@ class Lattice:
     edge_len: jnp.ndarray        # (L, N, N) chord length over samples
     edge_npts: jnp.ndarray       # (L, N, N) int32 sample count
     samples_xy: jnp.ndarray      # (L, N, N, S, 2)
+    samples_el: jnp.ndarray      # (L, N, N, S) inter-sample element lengths
+    #                              (last column 0) — precomputed so the hot
+    #                              assembly kernel gathers (H, S) floats
+    #                              instead of (H, S, 2) xy + diff + norm
     # goal / horizon
     vg_cost: jnp.ndarray         # (L, N) virtual-goal lateral cost (INF invalid)
     end_layer_for_start: jnp.ndarray  # (L,) int32
@@ -421,6 +425,7 @@ def build_lattice(gt: GlobalTrajectory, cfg: OfflineConfig,
         edge_len=jnp.asarray(edge_len),
         edge_npts=jnp.asarray(n_pts),
         samples_xy=jnp.asarray(samples),
+        samples_el=jnp.asarray(_samples_el_table(np.asarray(samples))),
         vg_cost=jnp.asarray(vg_cost),
         end_layer_for_start=jnp.asarray(end_layer),
         h_goal_for_start=jnp.asarray(h_goal),
@@ -459,6 +464,13 @@ _META_FIELDS = [f.name for f in dataclasses.fields(Lattice)
                 if f.metadata.get("static", False)]
 
 
+def _samples_el_table(samples: np.ndarray) -> np.ndarray:
+    """(L, N, N, S) inter-sample element lengths (last column 0)."""
+    d = np.linalg.norm(np.diff(samples, axis=3), axis=-1)
+    return np.concatenate(
+        [d, np.zeros(d.shape[:3] + (1,), d.dtype)], axis=3).astype(np.float32)
+
+
 def save_lattice(lat: Lattice, path: str) -> None:
     arrays = {k: np.asarray(getattr(lat, k)) for k in _ARRAY_FIELDS}
     meta = {f"meta_{k}": np.asarray(getattr(lat, k)) for k in _META_FIELDS}
@@ -479,6 +491,10 @@ def load_lattice(path: str) -> Optional[Lattice]:
         return None
     kwargs = {}
     for k in _ARRAY_FIELDS:
+        if k == "samples_el" and k not in z:
+            # derived table absent in older artifacts — backfill
+            kwargs[k] = jnp.asarray(_samples_el_table(z["samples_xy"]))
+            continue
         kwargs[k] = jnp.asarray(z[k])
     for k in _META_FIELDS:
         v = z[f"meta_{k}"][()]

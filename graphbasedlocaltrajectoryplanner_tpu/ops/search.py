@@ -93,6 +93,11 @@ def select_goal(best: jnp.ndarray, vg_cost: jnp.ndarray, h_goal,
 def backtrace(bp: jnp.ndarray, h_eff, goal_node):
     """Recover the node chain from backpointers.
 
+    Sequential walk as an unrolled scan.  (A log-depth pointer-doubling
+    formulation was measured 50x SLOWER on the current TPU backend — the
+    per-level (H+1, N) jump-table gathers lower far worse than H dependent
+    scalar-row gathers, so the scan stays.)
+
     :param bp:        (H+1, N) backpointers from :func:`minplus_scan`.
     :param h_eff:     effective horizon (int32).
     :param goal_node: node index at window-layer ``h_eff``.
@@ -105,12 +110,13 @@ def backtrace(bp: jnp.ndarray, h_eff, goal_node):
         node_h = jnp.where(
             h > h_eff, jnp.int32(-1),
             jnp.where(h == h_eff, goal_node,
-                      bp[jnp.clip(h + 1, 0, Hp1 - 1), jnp.clip(node_above, 0, None)]))
+                      bp[jnp.clip(h + 1, 0, Hp1 - 1),
+                         jnp.clip(node_above, 0, None)]))
         carry = jnp.where(h <= h_eff, node_h, node_above)
         return carry, node_h
 
     _, nodes_rev = jax.lax.scan(step, goal_node,
-                                jnp.arange(Hp1 - 1, -1, -1))
+                                jnp.arange(Hp1 - 1, -1, -1), unroll=8)
     return nodes_rev[::-1]
 
 

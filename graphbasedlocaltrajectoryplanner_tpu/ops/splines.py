@@ -87,14 +87,16 @@ def _thomas(lower, diag, upper, rhs):
     # carry inits derived from the inputs (not fresh constants) so their
     # varying-manual-axes type matches inside shard_map (shard_map.html#scan-vma)
     init = (diag[0] * 0.0, rhs[0] * 0.0)
-    _, (c_p, d_p) = jax.lax.scan(fwd, init, (lower, diag, upper, rhs))
+    _, (c_p, d_p) = jax.lax.scan(fwd, init, (lower, diag, upper, rhs),
+                                 unroll=8)
 
     def bwd(x_next, inp):
         c, d = inp
         x = d - c * x_next
         return x, x
 
-    _, xs = jax.lax.scan(bwd, rhs[0] * 0.0, (c_p, d_p), reverse=True)
+    _, xs = jax.lax.scan(bwd, rhs[0] * 0.0, (c_p, d_p), reverse=True,
+                         unroll=8)
     return xs
 
 

@@ -180,7 +180,7 @@ MODE_BWD = 2     # backward conservative-refinement pass (pre-flipped inputs)
 
 def stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init, mode,
                      ax_max_machines, dyn_model_exp, drag_coeff, m_veh,
-                     unroll: int = 8):
+                     unroll: int = 16):
     """Run R *independent* velocity recurrences of length T in ONE
     ``lax.scan`` — the latency optimization for the velocity stage: the
     sequential scans of :func:`calc_vel_profile_fb` /

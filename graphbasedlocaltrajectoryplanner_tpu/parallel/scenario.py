@@ -410,6 +410,9 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     valid4 = jnp.stack([v_straight, v_follow, v_left, v_right])
     h_safe = jnp.maximum(h4, 1)
 
+    if until == "decide":
+        return dict(src=src4, h_eff=h4, valid=valid4)
+
     # ---- backtrace + assembly per output slot ------------------------------
     def run_slot(src, h_eff):
         nodes, cost = pg.backtrace_slot(out["best"][src], out["bp"][src],
@@ -439,17 +442,39 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         P_full = C_PAD + p_max
         idxf = jnp.arange(P_full)
         # exported row i = spliced[cut_idx + i]: the remaining const rows
-        # (cut..const_n-1) followed by the freshly planned path
+        # (cut..const_n-1) followed by the freshly planned path.  Both row
+        # shifts are contiguous dynamic_slices (per-element gathers with a
+        # dynamic start lower ~4x slower on TPU)
         cn = scen.const_n - scen.cut_idx
-        gather_new = jnp.clip(idxf - cn, 0, p_max - 1)
-        const5 = scen.const_path
-        paths_full = jnp.where(
-            (idxf < cn)[None, :, None],
-            jnp.broadcast_to(
-                const5[jnp.clip(idxf + scen.cut_idx, 0, C_PAD - 1)],
-                (4, P_full, 5)),
-            res_all["path"][:, gather_new, :])
+        const_pad = jnp.concatenate(
+            [scen.const_path, jnp.zeros((P_full, 5))], axis=0)
+        const_rows = jax.lax.dynamic_slice(
+            const_pad, (scen.cut_idx, jnp.int32(0)), (P_full, 5))
+        # new path shifted down by cn: row i reads path[i - cn]
+        new_pad = jnp.concatenate(
+            [jnp.zeros((4, C_PAD, 5)), res_all["path"],
+             jnp.zeros((4, C_PAD, 5))], axis=1)
+        new_rows = jax.lax.dynamic_slice(
+            new_pad, (jnp.int32(0), C_PAD - cn, jnp.int32(0)),
+            (4, P_full, 5))
+        paths_full = jnp.where((idxf < cn)[None, :, None],
+                               const_rows[None, :, :], new_rows)
         n_valid_full = res_all["n_valid"] + cn
+        # freeze rows beyond the spliced length at the final real row (the
+        # repeated-end-sample padding invariant the velocity scans and the
+        # follow-path projection rely on; zero rows from the slice tails
+        # would alias position (0, 0))
+        last_row = jnp.take_along_axis(
+            paths_full,
+            jnp.clip(n_valid_full - 1, 0, P_full - 1)[:, None, None]
+            .astype(jnp.int32) * jnp.ones((1, 1, 5), jnp.int32), axis=1)
+        paths_full = jnp.where(
+            (idxf[None, :] >= n_valid_full[:, None])[:, :, None],
+            last_row, paths_full)
+        # padding rows carry zero element length
+        paths_full = paths_full.at[:, :, 4].set(
+            jnp.where(idxf[None, :] >= n_valid_full[:, None] - 1, 0.0,
+                      paths_full[:, :, 4]))
 
     if until == "assembly":
         return dict(paths=paths_full, n_valid=n_valid_full, cost=cost_all,

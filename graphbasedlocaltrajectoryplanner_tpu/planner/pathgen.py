@@ -387,16 +387,14 @@ def assemble_action_kernel(lat: Lattice,
 
     # element lengths come from the PRE-refit per-edge samples (reference
     # keeps the stored spline_param el column, add_edge GraphBase.py:425-436)
-    chain_samples = lat.samples_xy[l_h, n_h, m_h]       # (H, S, 2)
-    seg_el = jnp.linalg.norm(jnp.diff(chain_samples, axis=1), axis=-1)
-    seg_el = jnp.concatenate([seg_el, jnp.zeros((H, 1))], axis=1)  # (H, S)
+    seg_el = lat.samples_el[l_h, n_h, m_h]              # (H, S), last col 0
 
     # --- sample the refit chain with per-segment point counts -------------
     # one-hot segment selection + a SINGLE per-point polynomial evaluation:
-    # the per-point coefficient "gather" is an explicit one-hot matmul
-    # (MXU-friendly; plain coeffs[seg_id] gathers lower poorly under vmap,
-    # and the previous fori over H segments both serialized H steps and
-    # evaluated every segment at full path width)
+    # the per-point "gather" of every per-segment table is ONE one-hot
+    # matmul over a concatenated (H, 8+S+2) table (MXU-friendly; plain
+    # coeffs[seg_id] gathers lower poorly under vmap, and separate
+    # reductions per table each re-walk the (p_max, H) one-hot)
     idxp = jnp.arange(p_max)
     S = lat.S
     s_ids = jnp.arange(S, dtype=jnp.float32)
@@ -404,18 +402,19 @@ def assemble_action_kernel(lat: Lattice,
     seg_id = jnp.sum((node_idx[1:][None, :] <= idxp[:, None])
                      .astype(jnp.int32), axis=1)
     seg_id = jnp.clip(seg_id, 0, H - 1)
-    ohb = seg_id[:, None] == jnp.arange(H)[None, :]     # (p_max, H)
-    oh = ohb.astype(coeffs.dtype)
+    oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(coeffs.dtype)
     # float tables through the MXU at full precision (bf16 passes would
-    # corrupt coefficients beyond the 2 cm parity budget)
-    c_p = jnp.matmul(oh, coeffs.reshape(H, 8),
-                     precision=jax.lax.Precision.HIGHEST)
-    c_p = c_p.reshape(p_max, 4, 2)                      # per-point coeffs
-    el_rows = jnp.matmul(oh, seg_el,
-                         precision=jax.lax.Precision.HIGHEST)  # (p_max, S)
-    # integer tables via exact masked sums
-    start_p = jnp.sum(jnp.where(ohb, node_idx[None, :H], 0), axis=1)
-    npts_p = jnp.sum(jnp.where(ohb, npts_e[None, :], 0), axis=1)
+    # corrupt coefficients beyond the 2 cm parity budget); the int columns
+    # (node_idx < p_max, npts <= S) are exact in f32
+    table = jnp.concatenate(
+        [coeffs.reshape(H, 8), seg_el,
+         node_idx[:H, None].astype(coeffs.dtype),
+         npts_e[:, None].astype(coeffs.dtype)], axis=1)  # (H, 8+S+2)
+    rows = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    c_p = rows[:, :8].reshape(p_max, 4, 2)              # per-point coeffs
+    el_rows = rows[:, 8:8 + S]                          # (p_max, S)
+    start_p = rows[:, 8 + S].astype(jnp.int32)
+    npts_p = rows[:, 8 + S + 1].astype(jnp.int32)
 
     within = (idxp - start_p).astype(jnp.float32)
     t = jnp.clip(within / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)

@@ -134,3 +134,4 @@ def test_heading_dir_roundtrip():
     from graphbasedlocaltrajectoryplanner_tpu.ops.heading import dir_to_heading
     back = np.asarray(dir_to_heading(jnp.array(d[:, 0]), jnp.array(d[:, 1])))
     np.testing.assert_allclose(back, psis, atol=1e-5)
+
