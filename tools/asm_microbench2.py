@@ -103,15 +103,6 @@ def main():
     ).astype(jnp.int32)
     table = jnp.asarray(rng.normal(size=(B, R, H, 8 + S + 2)), jnp.float32)
 
-    def sample_mm(node_idx, table):
-        def one(ni, tb):
-            idxp = jnp.arange(p_max)
-            seg_id = jnp.sum((ni[None, 1:] <= idxp[:, None]).astype(jnp.int32),
-                             axis=1) if False else jnp.clip(
-                jnp.searchsorted(ni, idxp, side="right") - 1, 0, H - 1)
-            oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(tb.dtype)
-            return jnp.matmul(oh, tb, precision=jax.lax.Precision.HIGHEST)
-        return jax.vmap(jax.vmap(one))(node_idx, table)
     # NOTE: avoid searchsorted on this backend — use the compare-sum
     def sample_mm2(node_idx, table):
         def one(ni, tb):

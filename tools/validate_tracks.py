@@ -90,9 +90,14 @@ def run_track(csv_path: str, ticks: int, store_dir: str,
     tick_ms = []
     empty_sets = 0
     sim_t = 0.0
-    for tick in range(ticks):
-        sel_action = next(a for a in ("right", "left", "straight", "follow")
-                          if a in traj_set)
+    vel_est = 0.0
+    for tick in range(ticks if ok else 0):
+        sel_action = next((a for a in ("right", "left", "straight", "follow")
+                           if a in traj_set), None)
+        if sel_action is None:
+            # empty action set: recorded as a failure, stop the loop
+            empty_sets += 1
+            break
         obj_list = obj_dummy.get_objectlist()
         t1 = time.perf_counter()
         ltpl.calc_paths(prev_action_id=sel_action, object_list=obj_list)
@@ -121,9 +126,11 @@ def run_track(csv_path: str, ticks: int, store_dir: str,
         closed=bool(lat.closed),
         build_s=t_build,
         ticks=ticks,
-        mean_actions=float(np.mean(n_actions)),
+        mean_actions=float(np.mean(n_actions)) if n_actions else 0.0,
         empty_sets=empty_sets,
-        tick_ms_p50=float(np.percentile(tick_ms[1:], 50)),
+        tick_ms_p50=float(np.percentile(tick_ms[1:] if len(tick_ms) > 1
+                                        else tick_ms, 50))
+        if tick_ms else float("nan"),
         v_end=float(vel_est),
     )
 
