@@ -236,6 +236,127 @@ def stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init, mode,
     return jnp.concatenate([v0[None, :], ys], axis=0).T
 
 
+_PALLAS_VEL = None
+
+
+def stacked_vel_scan_auto(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init,
+                          mode, ax_max_machines, dyn_model_exp, drag_coeff,
+                          m_veh, unroll: int = 16):
+    """Backend dispatch for the stacked velocity recurrences: the fused
+    Pallas kernel (ops/pallas_velocity.py — rows on the lane axis, the
+    T-step loop entirely in VMEM) on TPU, the ``lax.scan`` formulation
+    (:func:`stacked_vel_scan`) elsewhere.  Identical step arithmetic;
+    equivalence pinned in tests/test_pallas_velocity.py."""
+    global _PALLAS_VEL
+    if jax.default_backend() == "tpu":
+        if _PALLAS_VEL is None:
+            from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity \
+                import make_fused_vel_scan
+            _PALLAS_VEL = make_fused_vel_scan(interpret=False)
+        return _PALLAS_VEL(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim,
+                           jnp.asarray(v_init, k1.dtype),
+                           jnp.asarray(mode, jnp.int32), ax_max_machines,
+                           dyn_model_exp, drag_coeff, m_veh)
+    return stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim,
+                            v_init, mode, ax_max_machines, dyn_model_exp,
+                            drag_coeff, m_veh, unroll=unroll)
+
+
+def calc_vel_profile_brake_auto(kappa, el_lengths, loc_gg, v_start,
+                                dyn_model_exp=1.0, drag_coeff=0.85,
+                                m_veh=1000.0):
+    """:func:`calc_vel_profile_brake` routed through the backend dispatch
+    (one MODE_BRAKE row) so batched callers (emergency kernel, opponent
+    summary) hit the fused Pallas path on TPU.  The machine-limit interp is
+    inactive in brake mode; a constant dummy table is supplied."""
+    _BRAKE_DUMMY_MACHINES = jnp.array([[0.0, 1.0], [1.0, 1.0]], jnp.float32)
+    kappa_abs = jnp.abs(kappa)[None, :-1]
+    ax_max = loc_gg[None, :-1, 0]
+    ay_max = loc_gg[None, :-1, 1]
+    v = stacked_vel_scan_auto(
+        kappa_abs, ax_max, ay_max, kappa_abs, ax_max, ay_max,
+        el_lengths[None, :-1], jnp.full_like(kappa_abs, jnp.inf),
+        jnp.asarray(v_start, kappa.dtype)[None],
+        jnp.full((1,), MODE_BRAKE, jnp.int32), _BRAKE_DUMMY_MACHINES,
+        dyn_model_exp, drag_coeff, m_veh)
+    return v[0]
+
+
+def stacked_vel_scan_assoc(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init,
+                           mode, ax_max_machines, dyn_model_exp, drag_coeff,
+                           m_veh, sweeps: int = 6):
+    """Log-depth formulation of :func:`stacked_vel_scan` (SURVEY section 7
+    "forward-backward associative scan"; VERDICT r2 item 2).
+
+    The per-step recurrence of every mode is, in energy space ``E = v^2``,
+
+        E_{t+1} = clip(E_t + c_t(v_t), 0, B_{t+1}),   B = v_lim^2
+
+    (MODE_FWD: ``c = 2 (min(a_tires, a_machine) - a_drag) ds``; MODE_BRAKE:
+    ``c = -2 (a_tires + a_drag) ds`` with no cap; MODE_BWD: ``c = 2 min(dec1,
+    dec2) ds`` — exactly the update of :func:`stacked_vel_scan`).  Maps
+    ``x -> clip(x + a, lo, hi)`` are closed under composition::
+
+        g(f(x)) = clip(x + a_f + a_g, clip(lo_f + a_g, lo_g, hi_g),
+                                      clip(hi_f + a_g, lo_g, hi_g))
+
+    so for FIXED coefficients the whole chain is one
+    ``jax.lax.associative_scan`` (log-depth) instead of T sequential steps.
+    The velocity dependence of ``c_t`` is resolved by Picard iteration:
+    each sweep evaluates the coefficients at the previous sweep's profile
+    and rebuilds the prefix compositions; at the fixed point the result
+    satisfies the sequential recurrence *exactly* (tolerance pinned against
+    :func:`stacked_vel_scan` in tests/test_velocity.py).
+
+    Same signature/semantics as :func:`stacked_vel_scan` plus ``sweeps``
+    (static).  Work is ``sweeps``x the sequential version's FLOPs — still
+    negligible — while the sequential depth drops from T to
+    ``sweeps * log2(T)``, which removes the velocity stage's latency floor
+    (BENCH_r02: 1792 steps x 4.2 us).
+    """
+    mode = jnp.asarray(mode, jnp.int32)[:, None]
+    v0 = jnp.asarray(v_init, k1.dtype)
+    E0 = v0 * v0                                        # (R,)
+    B = jnp.where(jnp.isfinite(v_lim), v_lim * v_lim, jnp.inf)  # (R, T)
+
+    def coeffs(v):
+        """Per-step energy increment c_t at lagged from-point velocities v
+        (R, T) — the same arithmetic as stacked_vel_scan.step."""
+        a_t = _ax_tires(v, k1, axm1, aym1, dyn_model_exp)
+        drag = v * v * drag_coeff / m_veh
+        a_m = _interp_sorted(v, ax_max_machines[:, 0], ax_max_machines[:, 1])
+        c_f = 2.0 * (jnp.minimum(a_t, a_m) - drag) * ds
+        dec = a_t + drag
+        c_b = -2.0 * dec * ds
+        v_est = jnp.sqrt(v * v + 2.0 * dec * ds)
+        a_t2 = _ax_tires(v_est, k2, axm2, aym2, dyn_model_exp)
+        dec2 = a_t2 + v_est * v_est * drag_coeff / m_veh
+        c_r = 2.0 * jnp.minimum(dec, dec2) * ds
+        return jnp.where(mode == MODE_FWD, c_f,
+                         jnp.where(mode == MODE_BRAKE, c_b, c_r))
+
+    def combine(f, g):
+        """Compose clip maps: g after f (scan walks left-to-right)."""
+        af, lf, hf = f
+        ag, lg, hg = g
+        return (af + ag,
+                jnp.clip(lf + ag, lg, hg),
+                jnp.clip(hf + ag, lg, hg))
+
+    # initial guess: pointwise bound (finite rows) / start velocity
+    v = jnp.where(jnp.isfinite(v_lim), v_lim, v0[:, None])
+    E = None
+    zero = jnp.zeros_like(B)
+    for _ in range(sweeps):
+        c = coeffs(v)
+        A, Lo, Hi = jax.lax.associative_scan(combine, (c, zero, B), axis=1)
+        E = jnp.clip(E0[:, None] + A, Lo, Hi)           # (R, T) points 1..T
+        v = jnp.sqrt(jnp.maximum(
+            jnp.concatenate([E0[:, None], E[:, :-1]], axis=1), 0.0))
+    return jnp.concatenate(
+        [E0[:, None], E], axis=1) ** 0.5
+
+
 def calc_ax_profile(vx_profile: jnp.ndarray, el_lengths: jnp.ndarray):
     """Acceleration implied by a velocity profile (tph ``calc_ax_profile``):
     ``ax_i = (v_{i+1}^2 - v_i^2) / (2 ds_i)``.  Zero where ``ds == 0``

@@ -6,9 +6,12 @@ function (``scenario_tick``): masked 4-slot min-plus DP, per-slot horizon
 selection with the follow->left/right shrink coupling, C2-refit path
 assembly, and velocity profiles — no host round-trips.  Batch thousands of
 scenarios with ``jax.vmap`` on one chip; scale across a device mesh with
-``make_sharded_tick`` (scenario data-parallel over the ``dp`` axis, window
-layers sharded over the ``mp`` axis for the collision kernel with an
-``all_gather`` over ICI, fleet statistics reduced with ``psum``/``pmin``).
+``make_sharded_tick`` (scenario data-parallel over the ``dp`` axis, fleet
+statistics reduced with ``psum``/``pmin``).  The orthogonal ``mp`` axis —
+window LAYERS sharded across devices with a cost-frontier ``all_gather``
+over ICI — lives in ``parallel/spatial.py`` (two-phase blocked min-plus
+scan); scenario-DP remains the default decomposition for the shipped
+tracks (see PARITY.md "Parallel decompositions").
 
 The reference has no counterpart (single-process loop) — this is the
 idiomatic TPU mapping identified in SURVEY.md section 2 ("Parallelism &

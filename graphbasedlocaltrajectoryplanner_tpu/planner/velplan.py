@@ -66,7 +66,7 @@ def opponent_summary(glob_rl, glob_el, obj_pos, v_obj,
     v_start = jnp.minimum(v_obj, vel_r[0])
     gg = jnp.stack([jnp.full((f_cap,), OPP_GGV_AX),
                     jnp.full((f_cap,), OPP_GGV_AY)], axis=1)
-    v_brake = velops.calc_vel_profile_brake(kappa_r, el_r, gg, v_start,
+    v_brake = velops.calc_vel_profile_brake_auto(kappa_r, el_r, gg, v_start,
                                             dyn_model_exp, drag_coeff, m_veh)
     opp_stop_dist = velops.stop_distance(v_brake, el_r)
     roll_cum = jnp.cumsum(el_r)
@@ -144,7 +144,7 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     def _lvl(rows, mode):
         k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
                                               zip(*rows)]
-        return velops.stacked_vel_scan(
+        return velops.stacked_vel_scan_auto(
             k1, a1, y1, k2, a2, y2, d_, vl, vi, jnp.asarray(mode, jnp.int32),
             machines, dyn_model_exp, drag_coeff, m_veh)
 
@@ -406,7 +406,7 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     def _lvl(rows, mode):
         k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
                                               zip(*rows)]
-        return velops.stacked_vel_scan(
+        return velops.stacked_vel_scan_auto(
             k1, a1, y1, k2, a2, y2, d_, vl, vi, jnp.asarray(mode, jnp.int32),
             machines, dyn_model_exp, drag_coeff, m_veh)
 
@@ -584,7 +584,7 @@ def brake_on_backup_kernel(path,          # (P, 5) backup path cut at position
     kappa = path[:, 3]
     el = path[:, 4]
     el_m = jnp.where(idx < c_len, 0.0, el)
-    vx = velops.calc_vel_profile_brake(kappa, el_m, gg, vel_plan,
+    vx = velops.calc_vel_profile_brake_auto(kappa, el_m, gg, vel_plan,
                                        dyn_model_exp, drag_coeff, m_veh)
     vx_full = jnp.where(idx < c_len, vel_course, vx)
     ax = velops.calc_ax_profile(vx_full, el)
@@ -604,7 +604,7 @@ def emergency_kernel(traj,       # (P, 7) s x y psi kappa vx ax
     (calc_brake_emergency.py:9-47; hardcoded 1160 kg / 0.854 drag)."""
     el = jnp.diff(traj[:, 0])
     el = jnp.concatenate([el, jnp.zeros((1,))])
-    v_brake = velops.calc_vel_profile_brake(
+    v_brake = velops.calc_vel_profile_brake_auto(
         traj[:, 4], el, gg, traj[0, 5], 1.0,
         EMERG_VEH_DRAGCOEFF, EMERG_VEH_MASS)
     a_brake = velops.calc_ax_profile(v_brake, el)

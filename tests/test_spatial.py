@@ -1,0 +1,100 @@
+"""Layer-sharded (mp-axis) window DP vs the single-device scan kernel on
+the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphbasedlocaltrajectoryplanner_tpu.models.track import make_oval_track
+from graphbasedlocaltrajectoryplanner_tpu.models.lattice import build_lattice
+from graphbasedlocaltrajectoryplanner_tpu.utils.config import OfflineConfig
+from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+from graphbasedlocaltrajectoryplanner_tpu.parallel.spatial import (
+    spatial_window_dp)
+from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
+from graphbasedlocaltrajectoryplanner_tpu.ops.search import FEAS_THRESH
+
+
+@pytest.fixture(scope="module")
+def lat():
+    return build_lattice(make_oval_track(), OfflineConfig(), md5_params="sp")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must provide 8 virtual devices"
+    return jax.sharding.Mesh(np.array(devs), axis_names=("mp",))
+
+
+def _scen_args(lat, seed, n_objects):
+    scen = sc.random_scenarios(lat, 1, seed=seed, n_objects=n_objects)
+    one = jax.tree_util.tree_map(lambda x: x[0], scen)
+    obs = sc._select_obstacle(lat, one)
+    zone_block = jnp.zeros((lat.L, lat.N), bool)
+    wlf = jnp.array([0.0, 0.5, 0.8], jnp.float32)
+    return one, obs, zone_block, wlf
+
+
+@pytest.mark.parametrize("n_objects", [0, 1])
+def test_spatial_matches_scan(lat, mesh, n_objects):
+    one, obs, zone_block, wlf = _scen_args(lat, seed=3, n_objects=n_objects)
+    args = (one.start_layer, one.start_node, zone_block,
+            one.obj_pos, one.obj_radius, one.obj_active,
+            obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+            one.last_nodes, wlf)
+    ref = pg.plan_window_kernel(lat, *args, n_last=sc.N_LAST)
+    out = spatial_window_dp(lat, mesh, *args, n_last=sc.N_LAST)
+
+    ref_best = np.asarray(ref["best"])
+    out_best = np.asarray(out["best"])
+    feas = ref_best < float(FEAS_THRESH)
+    # frontier values agree up to float re-association on feasible entries
+    np.testing.assert_allclose(out_best[feas], ref_best[feas],
+                               rtol=1e-4, atol=1e-3)
+    assert np.array_equal(feas, np.asarray(out_best) < float(FEAS_THRESH))
+    np.testing.assert_array_equal(np.asarray(out["win_layers"]),
+                                  np.asarray(ref["win_layers"]))
+
+    # backtraced chains are identical at every feasible horizon
+    h_goal = int(ref["h_goal"])
+    for slot in range(4):
+        for h_eff in (1, max(1, h_goal // 2), h_goal):
+            n_ref, c_ref = pg.backtrace_slot(
+                ref["best"][slot], ref["bp"][slot], ref["vg"][slot],
+                jnp.int32(h_eff))
+            n_out, c_out = pg.backtrace_slot(
+                out["best"][slot], out["bp"][slot], out["vg"][slot],
+                jnp.int32(h_eff))
+            if float(c_ref) >= float(FEAS_THRESH):
+                assert float(c_out) >= float(FEAS_THRESH)
+                continue
+            np.testing.assert_array_equal(np.asarray(n_out),
+                                          np.asarray(n_ref))
+            np.testing.assert_allclose(float(c_out), float(c_ref),
+                                       rtol=1e-4, atol=1e-3)
+
+
+def test_spatial_zone_blocking(lat, mesh):
+    """Zones blocked in the sharded DP exactly as in the scan kernel."""
+    one, obs, zone_block, wlf = _scen_args(lat, seed=5, n_objects=0)
+    zb = np.zeros((lat.L, lat.N), bool)
+    lay = (int(one.start_layer) + 3) % lat.L
+    zb[lay, :] = True       # block a full layer 3 steps ahead
+    zb[lay, int(lat.rl_idx[lay])] = False   # except the raceline node
+    zone_block = jnp.asarray(zb)
+    args = (one.start_layer, one.start_node, zone_block,
+            one.obj_pos, one.obj_radius, one.obj_active,
+            obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+            one.last_nodes, wlf)
+    ref = pg.plan_window_kernel(lat, *args, n_last=sc.N_LAST)
+    out = spatial_window_dp(lat, mesh, *args, n_last=sc.N_LAST)
+    h_goal = int(ref["h_goal"])
+    n_ref, c_ref = pg.backtrace_slot(ref["best"][0], ref["bp"][0],
+                                     ref["vg"][0], jnp.int32(h_goal))
+    n_out, c_out = pg.backtrace_slot(out["best"][0], out["bp"][0],
+                                     out["vg"][0], jnp.int32(h_goal))
+    np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_ref))
+    # the chain passes through the forced raceline node at the blocked layer
+    assert int(np.asarray(n_ref)[3]) == int(lat.rl_idx[lay])
