@@ -1,0 +1,77 @@
+"""Bounded dynamic row shifts without gathers (TPU backend idiom).
+
+On this backend a vmapped ``jax.lax.dynamic_slice`` lowers to a sequential
+``while`` loop plus per-scenario gathers — the profiler trace showed the
+constant-path splice and the opponent raceline window costing ~12 ms/tick
+at batch 1024 through exactly this path.  Both shifts are bounded by small
+compile-time constants, so they decompose into log2(bound) STATIC
+pad-and-slice passes selected per scenario by the shift's bits (a barrel
+shifter) — pure elementwise traffic that XLA fuses, no gathers, no loops.
+
+``select_window`` composes a one-hot block select (exact: 0/1 matmul at
+HIGHEST precision) with a fine barrel shift to extract an arbitrary-offset
+fixed-length window from a (small) table, replacing the opponent-summary
+roll gather (planner/velplan.opponent_summary).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def shift_rows_down(x: jnp.ndarray, shift, bound: int):
+    """``out[..., i, :] = x[..., i - shift, :]`` (zeros for i < shift).
+
+    :param x: (..., P, C); ``shift``: traced int scalar in ``[0, bound]``;
+        ``bound``: static power-of-two-ish bound (inclusive).
+    """
+    n_bits = max(1, int(bound).bit_length())
+    for k in range(n_bits):
+        s = 1 << k
+        if s > bound:
+            break
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :s, :]), x[..., :-s, :]], axis=-2)
+        x = jnp.where((shift & s) != 0, shifted, x)
+    return x
+
+
+def shift_rows_up(x: jnp.ndarray, shift, bound: int):
+    """``out[..., i, :] = x[..., i + shift, :]`` (zeros past the end)."""
+    n_bits = max(1, int(bound).bit_length())
+    for k in range(n_bits):
+        s = 1 << k
+        if s > bound:
+            break
+        shifted = jnp.concatenate(
+            [x[..., s:, :], jnp.zeros_like(x[..., :s, :])], axis=-2)
+        x = jnp.where((shift & s) != 0, shifted, x)
+    return x
+
+
+def select_window(table: jnp.ndarray, start, length: int, blk: int = 64):
+    """Rows ``table[start : start + length]`` for a traced ``start``.
+
+    Coarse one-hot block select (``blk``-aligned overlapping blocks via an
+    exact 0/1 matmul) + fine barrel shift.  Batch over ``start`` with vmap;
+    the blocks tensor is loop-invariant and hoisted.
+
+    :param table: (T, C) with ``start + length <= T`` guaranteed by caller.
+    """
+    T, C = table.shape
+    n_blocks = (T - length) // blk + 1
+    span = length + blk
+    # overlapping blocks: block k covers rows [k*blk, k*blk + span)
+    pad = jnp.concatenate(
+        [table, jnp.zeros(((n_blocks - 1) * blk + span - T, C),
+                          table.dtype)], axis=0)
+    blocks = jnp.stack([pad[k * blk:k * blk + span]
+                        for k in range(n_blocks)])      # (n_blocks, span, C)
+    coarse = jnp.clip(start // blk, 0, n_blocks - 1)
+    fine = start - coarse * blk
+    oh = (jnp.arange(n_blocks) == coarse).astype(table.dtype)
+    win = jnp.einsum('k,kpc->pc', oh, blocks,
+                     precision=jax.lax.Precision.HIGHEST)
+    win = shift_rows_up(win, fine, blk)
+    return win[:length]

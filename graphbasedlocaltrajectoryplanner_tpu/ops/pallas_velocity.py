@@ -9,12 +9,19 @@ handful of tiny fused ops over the (batch x R) rows, costing ~4 us/step of
 pure dispatch overhead — 4 levels x 448 steps made the velocity stage 22%
 of the batched tick (BENCH_r02 roofline: "velocity_ns_per_step": 4180).
 
-This kernel runs the *identical* per-step arithmetic with the scan rows laid
-out along the 128-lane axis — inputs are transposed to ``(G, T, 128)`` and
-blocked over G, so every sequential step is a full-width VPU op on a
-``(GB, 128)`` tile held in VMEM, and one grid block advances 128*GB rows per
-step.  The T-step loop never touches HBM (inputs stream in once per block,
-the profile streams out once).
+Kernel layout (v2 — the v1 in-kernel ``fori_loop`` with dynamic sublane
+indexing was SLOWER than the scan; Mosaic's dynamic per-step slices cost
+tens of cycles each):
+
+  * rows are tiled ``(sublane, lane) = (SUBS, 128)`` — ``SUBS*128`` rows
+    per row-block, inputs transposed to ``(G, T, SUBS, 128)``;
+  * the T axis is CHUNKED INTO THE GRID: grid = (row blocks, T/TC chunks),
+    the carry velocity lives in VMEM scratch and persists across the
+    sequential chunk iterations (TPU grids execute in order);
+  * within a chunk the step loop is a static python ``range(TC)`` so every
+    memory access is statically indexed — each step is a handful of
+    full-tile (SUBS, 128) VPU ops (wide tiles amortize per-op issue
+    overhead; statically-known physics drop the pow transcendentals).
 
 Numerical semantics match ``stacked_vel_scan`` step-for-step (same formula
 order; the machine-limit interpolation is an explicit piecewise-linear
@@ -33,8 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-GB = 2            # row-groups of 128 lanes per grid block (VMEM budget:
-#                   8 inputs x GB x T x 128 f32 x 2 (pipelining) < 16 MB)
+SUBS = 32
+ROWS_BLK = SUBS * LANES       # rows per row-block
+TC = 16                       # T-chunk per grid step
 
 
 def _on_tpu():
@@ -43,46 +51,51 @@ def _on_tpu():
 
 def _kernel(mach_ref, par_ref, mode_ref, vinit_ref,
             k1_ref, a1_ref, y1_ref, k2_ref, a2_ref, y2_ref,
-            ds_ref, vl_ref, out_ref, *, T, M):
+            ds_ref, vl_ref, out_ref, v_carry, *, M, exp_one):
     exp = par_ref[0, 0]
     inv_exp = par_ref[0, 1]
     drag_coeff = par_ref[0, 2]
     m_veh = par_ref[0, 3]
 
-    mode = mode_ref[:, 0, :]                             # (GB, 128) i32
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        v_carry[:, :] = vinit_ref[0, 0]
+
+    mode = mode_ref[0, 0]                                # (SUBS, 128) i32
     is_fwd = mode == 0
     is_brake = mode == 1
-    v0 = vinit_ref[:, 0, :]                              # (GB, 128)
-    out_ref[:, 0, :] = v0
 
-    mxs = [mach_ref[j, 0] for j in range(M)]
-    mfs = [mach_ref[j, 1] for j in range(M)]
+    mxs = [mach_ref[m, 0] for m in range(M)]
+    mfs = [mach_ref[m, 1] for m in range(M)]
 
     def interp_m(v):
         # np.interp semantics for sorted xp: constant extrapolation
         res = jnp.full_like(v, mfs[M - 1])
-        for j in range(M - 1):
-            tt = (v - mxs[j]) / jnp.maximum(mxs[j + 1] - mxs[j], 1e-30)
-            res = jnp.where((v >= mxs[j]) & (v < mxs[j + 1]),
-                            mfs[j] + tt * (mfs[j + 1] - mfs[j]), res)
+        for m in range(M - 1):
+            tt = (v - mxs[m]) / jnp.maximum(mxs[m + 1] - mxs[m], 1e-30)
+            res = jnp.where((v >= mxs[m]) & (v < mxs[m + 1]),
+                            mfs[m] + tt * (mfs[m + 1] - mfs[m]), res)
         return jnp.where(v < mxs[0], mfs[0], res)
 
     def ax_tires(v, k_abs, axm, aym):
+        # exp_one (the config default dyn_model_exp == 1) removes the four
+        # transcendental pow evaluations from every step
         ay_used = v * v * k_abs
         frac = jnp.clip(ay_used / jnp.maximum(aym, 1e-9), 0.0, 1.0)
+        if exp_one:
+            return axm * (1.0 - frac)
         radicand = 1.0 - jnp.power(frac, exp)
         return axm * jnp.power(jnp.maximum(radicand, 0.0), inv_exp)
 
-    def body(t, v):
-        sl = (slice(None), pl.ds(t, 1), slice(None))
-        k1 = k1_ref[sl][:, 0, :]
-        a1 = a1_ref[sl][:, 0, :]
-        y1 = y1_ref[sl][:, 0, :]
-        k2 = k2_ref[sl][:, 0, :]
-        a2 = a2_ref[sl][:, 0, :]
-        y2 = y2_ref[sl][:, 0, :]
-        d_ = ds_ref[sl][:, 0, :]
-        vl = vl_ref[sl][:, 0, :]
+    v = v_carry[:, :]
+    for t in range(TC):                                  # static indices
+        k1 = k1_ref[0, t]
+        a1 = a1_ref[0, t]
+        y1 = y1_ref[0, t]
+        d_ = ds_ref[0, t]
+        vl = vl_ref[0, t]
 
         a_t = ax_tires(v, k1, a1, y1)
         drag = v * v * drag_coeff / m_veh
@@ -96,105 +109,147 @@ def _kernel(mach_ref, par_ref, mode_ref, vinit_ref,
         v_b = jnp.sqrt(jnp.maximum(v * v - 2.0 * dec * d_, 0.0))
         # MODE_BWD (two-step conservative refinement)
         v_est = jnp.sqrt(v * v + 2.0 * dec * d_)
-        a_t2 = ax_tires(v_est, k2, a2, y2)
+        a_t2 = ax_tires(v_est, k2_ref[0, t], a2_ref[0, t], y2_ref[0, t])
         dec2 = a_t2 + v_est * v_est * drag_coeff / m_veh
         v_r = jnp.minimum(
             jnp.sqrt(jnp.maximum(v * v + 2.0 * jnp.minimum(dec, dec2) * d_,
                                  0.0)), vl)
-        v_next = jnp.where(is_fwd, v_f, jnp.where(is_brake, v_b, v_r))
-        out_ref[:, pl.ds(t + 1, 1), :] = v_next[:, None, :]
-        return v_next
-
-    jax.lax.fori_loop(0, T, body, v0)
+        v = jnp.where(is_fwd, v_f, jnp.where(is_brake, v_b, v_r))
+        out_ref[0, t] = v
+    v_carry[:, :] = v
 
 
-def _to_lanes(x, G, T):
-    """(R_pad, T) -> (G, T, 128): rows split over (group, lane)."""
-    return jnp.transpose(x.reshape(G, LANES, T), (0, 2, 1))
+def _to_tiles(x, G, Tp):
+    """(R_pad, Tp) -> (G, Tp, SUBS, 128)."""
+    return jnp.transpose(x.reshape(G, SUBS, LANES, Tp), (0, 3, 1, 2))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exp_one"))
 def _fused_vel_scan_flat(k1, a1, y1, k2, a2, y2, ds, v_lim, v_init, mode,
-                         machines, params, interpret=False):
+                         machines, params, exp_one=False, interpret=False):
     """(R, T) inputs -> (R, T+1) profile via the Pallas kernel."""
     R, T = k1.shape
     M = machines.shape[0]
-    Rp = int(np.ceil(R / (LANES * GB)) * LANES * GB)
-    G = Rp // LANES
+    Rp = int(np.ceil(R / ROWS_BLK) * ROWS_BLK)
+    Tp = int(np.ceil(T / TC) * TC)
+    G = Rp // ROWS_BLK
 
-    def pad(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((Rp - R,) + x.shape[1:], fill, x.dtype)], axis=0) \
-            if Rp != R else x
+    def pad(x, fill_r, fill_t=None):
+        if Rp != R:
+            x = jnp.concatenate(
+                [x, jnp.full((Rp - R,) + x.shape[1:], fill_r, x.dtype)],
+                axis=0)
+        if fill_t is not None and Tp != T:
+            x = jnp.concatenate(
+                [x, jnp.full((Rp, Tp - T), fill_t, x.dtype)], axis=1)
+        return x
 
-    args = [_to_lanes(pad(a), G, T)
-            for a in (k1, a1, y1, k2, a2, y2, ds, v_lim)]
-    mode_l = pad(mode.astype(jnp.int32), 1).reshape(G, 1, LANES)
-    vinit_l = pad(v_init).reshape(G, 1, LANES)
+    # padded steps are identities: ds=0 and an INF cap leave v unchanged
+    # in every mode
+    args = [_to_tiles(pad(a, 0.0, ft), G, Tp)
+            for a, ft in ((k1, 0.0), (a1, 1.0), (y1, 1.0), (k2, 0.0),
+                          (a2, 1.0), (y2, 1.0), (ds, 0.0),
+                          (v_lim, jnp.inf))]
+    mode_t = pad(mode.astype(jnp.int32), 1).reshape(G, 1, SUBS, LANES)
+    vinit_t = pad(v_init, 0.0).reshape(G, 1, SUBS, LANES)
 
-    grid = (G // GB,)
-    row_spec = pl.BlockSpec((GB, T, LANES), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((1, TC, SUBS, LANES), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((GB, 1, LANES), lambda i: (i, 0, 0),
+    scalar_spec = pl.BlockSpec((1, 1, SUBS, LANES), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, T=T, M=M),
-        out_shape=jax.ShapeDtypeStruct((G, T + 1, LANES), k1.dtype),
-        grid=grid,
+        functools.partial(_kernel, M=M, exp_one=exp_one),
+        out_shape=jax.ShapeDtypeStruct((G, Tp, SUBS, LANES), k1.dtype),
+        grid=(G, Tp // TC),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   scalar_spec, scalar_spec] + [row_spec] * 8,
-        out_specs=pl.BlockSpec((GB, T + 1, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, TC, SUBS, LANES),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SUBS, LANES), k1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(machines, params, mode_l, vinit_l, *args)
-    out = jnp.transpose(out, (0, 2, 1)).reshape(Rp, T + 1)
-    return out[:R]
+    )(machines, params, mode_t, vinit_t, *args)
+    # (G, Tp, SUBS, 128) -> (Rp, Tp); prepend the v_init column
+    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(Rp, Tp)[:R, :T]
+    return jnp.concatenate([v_init[:R, None], out], axis=1)
 
 
-def make_fused_vel_scan(interpret: bool = None):
+def make_fused_vel_scan(interpret: bool = None, physics: tuple = None):
     """Drop-in replacement for ``velocity.stacked_vel_scan`` (same signature
     minus ``unroll``) backed by the Pallas kernel.
 
     Wrapped with ``custom_vmap``: under ``jax.vmap`` (the batched scenario
     engine) the batch axis is flattened into the row axis and ONE kernel
     launch handles batch*R rows — vmap never lifts the pallas_call itself.
+
+    :param physics: optional STATIC ``(dyn_model_exp, drag_coeff, m_veh)``
+        floats, folded into the kernel as compile-time constants (the
+        ``dyn_model_exp == 1`` config default then drops all four pow
+        transcendentals per step).  custom_vmap converts scalar *arguments*
+        to tracers, so static specialization must come through the factory.
+        ``None`` keeps the physics as traced runtime args.
     """
     if interpret is None:
         interpret = not _on_tpu()
 
-    @jax.custom_batching.custom_vmap
-    def fused(k1, a1, y1, k2, a2, y2, ds, v_lim, v_init, mode,
-              machines, dyn_model_exp, drag_coeff, m_veh):
-        params = jnp.stack([
+    def _params(dyn_model_exp, drag_coeff, m_veh):
+        return jnp.stack([
             jnp.asarray(dyn_model_exp, jnp.float32),
             1.0 / jnp.asarray(dyn_model_exp, jnp.float32),
             jnp.asarray(drag_coeff, jnp.float32),
             jnp.asarray(m_veh, jnp.float32)]).reshape(1, 4)
-        return _fused_vel_scan_flat(
-            k1, a1, y1, k2, a2, y2, ds, v_lim,
-            jnp.asarray(v_init, k1.dtype), mode, machines, params,
-            interpret=interpret)
 
-    @fused.def_vmap
-    def _fused_vmap(axis_size, in_batched, *batched_args):
-        (k1, a1, y1, k2, a2, y2, ds, v_lim, v_init, mode,
-         machines, dyn_model_exp, drag_coeff, m_veh) = batched_args
-        rows_b, scalars_b = in_batched[:10], in_batched[10:]
-        if any(scalars_b):
-            raise NotImplementedError(
-                "batched machines/physics params unsupported")
-
+    def _flatten(axis_size, in_batched, row_args):
         def flat(x, b):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             return x.reshape((axis_size * x.shape[1],) + x.shape[2:])
-
         R = next(x.shape[1] if b else x.shape[0]
-                 for x, b in zip(batched_args[:10], rows_b))
-        args = [flat(x, b) for x, b in zip(batched_args[:10], rows_b)]
-        out = fused(*args, machines, dyn_model_exp, drag_coeff, m_veh)
+                 for x, b in zip(row_args, in_batched))
+        return R, [flat(x, b) for x, b in zip(row_args, in_batched)]
+
+    if physics is not None:
+        exp_s, drag_s, mveh_s = (float(physics[0]), float(physics[1]),
+                                 float(physics[2]))
+
+        @jax.custom_batching.custom_vmap
+        def fused_s(k1, a1, y1, k2, a2, y2, ds, v_lim, v_init, mode,
+                    machines):
+            return _fused_vel_scan_flat(
+                k1, a1, y1, k2, a2, y2, ds, v_lim,
+                jnp.asarray(v_init, k1.dtype), mode, machines,
+                _params(exp_s, drag_s, mveh_s),
+                exp_one=(exp_s == 1.0), interpret=interpret)
+
+        @fused_s.def_vmap
+        def _fused_s_vmap(axis_size, in_batched, *batched_args):
+            if in_batched[10]:
+                raise NotImplementedError("batched machines unsupported")
+            R, args = _flatten(axis_size, in_batched[:10], batched_args[:10])
+            out = fused_s(*args, batched_args[10])
+            return out.reshape(axis_size, R, out.shape[-1]), True
+
+        return fused_s
+
+    @jax.custom_batching.custom_vmap
+    def fused(k1, a1, y1, k2, a2, y2, ds, v_lim, v_init, mode,
+              machines, dyn_model_exp, drag_coeff, m_veh):
+        return _fused_vel_scan_flat(
+            k1, a1, y1, k2, a2, y2, ds, v_lim,
+            jnp.asarray(v_init, k1.dtype), mode, machines,
+            _params(dyn_model_exp, drag_coeff, m_veh),
+            exp_one=False, interpret=interpret)
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, *batched_args):
+        if any(in_batched[10:]):
+            raise NotImplementedError(
+                "batched machines/physics params unsupported")
+        R, args = _flatten(axis_size, in_batched[:10], batched_args[:10])
+        out = fused(*args, *batched_args[10:])
         return out.reshape(axis_size, R, out.shape[-1]), True
 
     return fused

@@ -63,7 +63,7 @@ def admm_qp(P, q, A, l, u, iters: int = 60, rho=1.0,
     (x, z, y), _ = jax.lax.scan(step, (x, z, y), None, length=iters)
     r_prim = jnp.max(jnp.abs(A @ x - z))
     r_dual = jnp.max(jnp.abs(P @ x + q + A.T @ y))
-    return x, z, dict(r_prim=r_prim, r_dual=r_dual)
+    return x, z, dict(r_prim=r_prim, r_dual=r_dual, y=y)
 
 
 @partial(jax.jit, static_argnames=("iters",))

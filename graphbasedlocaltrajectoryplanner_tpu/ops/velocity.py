@@ -236,27 +236,36 @@ def stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init, mode,
     return jnp.concatenate([v0[None, :], ys], axis=0).T
 
 
-_PALLAS_VEL = None
+_PALLAS_VEL = {}
 
 
 def stacked_vel_scan_auto(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init,
                           mode, ax_max_machines, dyn_model_exp, drag_coeff,
                           m_veh, unroll: int = 16):
     """Backend dispatch for the stacked velocity recurrences: the fused
-    Pallas kernel (ops/pallas_velocity.py — rows on the lane axis, the
-    T-step loop entirely in VMEM) on TPU, the ``lax.scan`` formulation
-    (:func:`stacked_vel_scan`) elsewhere.  Identical step arithmetic;
-    equivalence pinned in tests/test_pallas_velocity.py."""
-    global _PALLAS_VEL
+    Pallas kernel (ops/pallas_velocity.py — rows tiled on the vector unit,
+    the T-step loop entirely in VMEM) on TPU, the ``lax.scan`` formulation
+    (:func:`stacked_vel_scan`) elsewhere.  Statically-known physics
+    constants (the common case — they come from config) are folded into the
+    kernel via the factory cache.  Identical step arithmetic; equivalence
+    pinned in tests/test_pallas_velocity.py."""
     if jax.default_backend() == "tpu":
-        if _PALLAS_VEL is None:
-            from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity \
-                import make_fused_vel_scan
-            _PALLAS_VEL = make_fused_vel_scan(interpret=False)
-        return _PALLAS_VEL(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim,
-                           jnp.asarray(v_init, k1.dtype),
-                           jnp.asarray(mode, jnp.int32), ax_max_machines,
-                           dyn_model_exp, drag_coeff, m_veh)
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity \
+            import make_fused_vel_scan
+        try:
+            key = (float(dyn_model_exp), float(drag_coeff), float(m_veh))
+        except Exception:       # traced physics (non-static caller)
+            key = None
+        if key not in _PALLAS_VEL:
+            _PALLAS_VEL[key] = make_fused_vel_scan(
+                interpret=False, physics=key)
+        fn = _PALLAS_VEL[key]
+        args = (k1, axm1, aym1, k2, axm2, aym2, ds, v_lim,
+                jnp.asarray(v_init, k1.dtype),
+                jnp.asarray(mode, jnp.int32), ax_max_machines)
+        if key is not None:
+            return fn(*args)
+        return fn(*args, dyn_model_exp, drag_coeff, m_veh)
     return stacked_vel_scan(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim,
                             v_init, mode, ax_max_machines, dyn_model_exp,
                             drag_coeff, m_veh, unroll=unroll)

@@ -32,6 +32,7 @@ from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
 from graphbasedlocaltrajectoryplanner_tpu.planner import velplan as vp
 from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
+from graphbasedlocaltrajectoryplanner_tpu.ops import dynshift
 
 O_PAD = 4
 # constant-path-segment pad length: the stored previous-path prefix spans
@@ -417,9 +418,25 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         return dict(src=src4, h_eff=h4, valid=valid4)
 
     # ---- backtrace + assembly per output slot ------------------------------
-    def run_slot(src, h_eff):
-        nodes, cost = pg.backtrace_slot(out["best"][src], out["bp"][src],
-                                        out["vg"][src], h_eff)
+    with jax.named_scope("gltpl.backtrace"):
+        # slot-select via one-hot (gathers are latency-bound on this
+        # backend), then one row-stacked goal-select + backpointer walk —
+        # the Pallas lane-parallel kernel on TPU (ops/pallas_backtrace.py)
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_backtrace \
+            import make_backtrace_goal
+        ohs = (src4[:, None] == jnp.arange(pg.N_SLOTS)[None, :])
+        best_sel = jnp.einsum('ks,shn->khn', ohs.astype(out["best"].dtype),
+                              out["best"])
+        bp_sel = jnp.einsum('ks,shn->khn', ohs.astype(jnp.int32),
+                            out["bp"]).astype(jnp.int32)
+        vg_sel = jnp.einsum('ks,shn->khn', ohs.astype(out["vg"].dtype),
+                            out["vg"])
+        nodes4, cost_all = make_backtrace_goal()(best_sel, bp_sel, vg_sel,
+                                                 h_safe)
+        end_nodes = jnp.take_along_axis(nodes4, h_safe[:, None],
+                                        axis=1)[:, 0]
+
+    def run_slot(nodes, h_eff):
         # start heading: previous-path heading AT the start node when a
         # const segment exists (the reference's const_path_seg includes the
         # start-node row, so psi_s = const_path_seg[-1, 2] is the heading at
@@ -433,12 +450,11 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         psi_cold = jnp.where(is_rl, psi_rl,
                              lat.node_psi[scen.start_layer, scen.start_node])
         psi_s = jnp.where(scen.warm, scen.psi_start, psi_cold)
-        res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
-                                        h_eff, psi_s, p_max=p_max)
-        return res, cost, nodes[h_eff]
+        return pg.assemble_action_kernel(lat, out["win_layers"], nodes,
+                                         h_eff, psi_s, p_max=p_max)
 
-    with jax.named_scope("gltpl.backtrace_assemble"):
-        res_all, cost_all, end_nodes = jax.vmap(run_slot)(src4, h_safe)
+    with jax.named_scope("gltpl.assemble"):
+        res_all = jax.vmap(run_slot)(nodes4, h_safe)
 
     # ---- constant-path splice (OTH:429-473 + cut at position OTH:703-731) --
     with jax.named_scope("gltpl.const_splice"):
@@ -446,20 +462,19 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         idxf = jnp.arange(P_full)
         # exported row i = spliced[cut_idx + i]: the remaining const rows
         # (cut..const_n-1) followed by the freshly planned path.  Both row
-        # shifts are contiguous dynamic_slices (per-element gathers with a
-        # dynamic start lower ~4x slower on TPU)
+        # shifts are bounded by C_PAD, so they run as static barrel-shift
+        # ladders (ops/dynshift.py) — a vmapped dynamic_slice lowers to a
+        # sequential while-loop + gathers on this backend (~10 ms/tick at
+        # batch 1024 in the r3 profiler trace)
         cn = scen.const_n - scen.cut_idx
-        const_pad = jnp.concatenate(
-            [scen.const_path, jnp.zeros((P_full, 5))], axis=0)
-        const_rows = jax.lax.dynamic_slice(
-            const_pad, (scen.cut_idx, jnp.int32(0)), (P_full, 5))
+        const_up = dynshift.shift_rows_up(scen.const_path, scen.cut_idx,
+                                          C_PAD)
+        const_rows = jnp.concatenate(
+            [const_up, jnp.zeros((P_full - C_PAD, 5))], axis=0)
         # new path shifted down by cn: row i reads path[i - cn]
-        new_pad = jnp.concatenate(
-            [jnp.zeros((4, C_PAD, 5)), res_all["path"],
-             jnp.zeros((4, C_PAD, 5))], axis=1)
-        new_rows = jax.lax.dynamic_slice(
-            new_pad, (jnp.int32(0), C_PAD - cn, jnp.int32(0)),
-            (4, P_full, 5))
+        new_ext = jnp.concatenate(
+            [res_all["path"], jnp.zeros((4, P_full - p_max, 5))], axis=1)
+        new_rows = dynshift.shift_rows_down(new_ext, cn, C_PAD)
         paths_full = jnp.where((idxf < cn)[None, :, None],
                                const_rows[None, :, :], new_rows)
         n_valid_full = res_all["n_valid"] + cn

@@ -337,6 +337,40 @@ def _fit_clamped_chain_padded(points, el, psi_s, psi_e, n_seg, H):
     return spl._coeffs_from_tangents(points, m, seg_len)
 
 
+def packed_edge_table(lat: Lattice):
+    """Per-edge assembly data packed into ONE ``(L, N, N, 16 + 8)`` table:
+    ``[npts, len, el_0..el_{S-1}, coeffs_0..7]``.
+
+    The chain walk of :func:`assemble_action_kernel` needs 4 scalars + S
+    element lengths + 8 Hermite coefficients per visited edge; gathers on
+    this backend are latency-bound **per index** with near-free row width
+    (tools/asm_profile_r3.py: one 16-wide packed row costs the same ~2.6 ms
+    at batch 4k as a single int column, while separate per-table gathers
+    cost ~6.4 ms) — so everything is fetched with a single gather.  Cheap
+    to (re)build in-graph: it is loop-invariant in ``lat`` and hoisted out
+    of the scenario vmap by XLA.
+
+    Coefficient rows reproduce :meth:`Lattice.edge_coeffs` (raceline edges
+    reuse the periodic raceline spline, gen_edges.py:82-86); their ``a0``
+    column doubles as the exact start-node position of each edge.
+    """
+    L, N = lat.L, lat.N
+    l2 = jnp.mod(jnp.arange(L) + 1, L)
+    her = spl.fit_hermite(
+        jnp.broadcast_to(lat.node_pos[:, :, None, :], (L, N, N, 2)),
+        jnp.broadcast_to(lat.node_pos[l2][:, None, :, :], (L, N, N, 2)),
+        jnp.broadcast_to(lat.node_psi[:, :, None], (L, N, N)),
+        jnp.broadcast_to(lat.node_psi[l2][:, None, :], (L, N, N)))
+    is_rl = (jnp.arange(N)[None, :, None] == lat.rl_idx[:, None, None]) \
+        & (jnp.arange(N)[None, None, :] == lat.rl_idx[l2][:, None, None])
+    coeffs = jnp.where(is_rl[..., None, None],
+                       lat.raceline_coeffs[:, None, None], her)
+    return jnp.concatenate(
+        [lat.edge_npts[..., None].astype(jnp.float32),
+         lat.edge_len[..., None], lat.samples_el,
+         coeffs.reshape(L, N, N, 8)], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("p_max",))
 def assemble_action_kernel(lat: Lattice,
                            win_layers,       # (H+1,)
@@ -357,37 +391,43 @@ def assemble_action_kernel(lat: Lattice,
                    node_idx (H+1,), coeffs (H, 8), length scalar)
     """
     H = lat.H_max
+    S = lat.S
     nsafe = jnp.clip(nodes, 0, lat.N - 1)
-    l_h = win_layers[:H]
-    n_h = nsafe[:H]
-    m_h = nsafe[1:]
     seg_active = jnp.arange(H) < h_eff
 
-    npts_e = lat.edge_npts[l_h, n_h, m_h]               # (H,)
-    npts_e = jnp.where(seg_active, npts_e, 1)           # inactive: contribute 0
-    len_e = jnp.where(seg_active, lat.edge_len[l_h, n_h, m_h], 1.0)
+    # ONE packed row gather fetches npts + len + el samples + Hermite
+    # coefficients for every chain edge (see packed_edge_table: gathers are
+    # per-index latency-bound on this backend, row width is free).  Row H
+    # (the degenerate edge (l_H, n_H, n_H)) is fetched only for its a0
+    # column = the exact end-node position.
+    packed = packed_edge_table(lat)
+    m_all = nsafe[jnp.clip(jnp.arange(H + 1) + 1, 0, H)]
+    rows_e = packed[win_layers, nsafe, m_all]           # (H+1, 16+8)
+    npts_e = jnp.where(seg_active, rows_e[:H, 0].astype(jnp.int32), 1)
+    len_e = jnp.where(seg_active, rows_e[:H, 1], 1.0)
+    seg_el = rows_e[:H, 2:2 + S]                        # (H, S), last col 0
+    ecoeffs = rows_e[:, 2 + S:2 + S + 8]                # (H+1, 8)
 
     node_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(npts_e - 1).astype(jnp.int32)])
     n_valid = node_idx[h_eff] + 1
 
-    # chain node positions (pad with last real node repeated)
-    chain_pos = lat.node_pos[win_layers, nsafe]         # (H+1, 2)
-    end_pos = chain_pos[h_eff]
+    # chain node positions = the a0 coefficient of each edge (exact node
+    # positions); pad with the last real node repeated
+    chain_pos = ecoeffs[:, 0:2]                         # (H+1, 2)
+    oh_end = (jnp.arange(H + 1) == h_eff).astype(chain_pos.dtype)
+    end_pos = oh_end @ chain_pos
     chain_pos = jnp.where((jnp.arange(H + 1) > h_eff)[:, None], end_pos,
                           chain_pos)
 
     # end heading: analytic heading at t=1 of the last active edge
     last = h_eff - 1
-    c_last = lat.edge_coeffs(l_h[last], n_h[last], m_h[last])
+    oh_last = (jnp.arange(H + 1) == last).astype(ecoeffs.dtype)
+    c_last = (oh_last @ ecoeffs).reshape(4, 2)
     psi_e, _ = spl.head_curv_an(c_last, jnp.float32(1.0))
 
     coeffs = _fit_clamped_chain_padded(chain_pos, len_e, psi_s, psi_e,
                                        h_eff, H)        # (H, 4, 2)
-
-    # element lengths come from the PRE-refit per-edge samples (reference
-    # keeps the stored spline_param el column, add_edge GraphBase.py:425-436)
-    seg_el = lat.samples_el[l_h, n_h, m_h]              # (H, S), last col 0
 
     # --- sample the refit chain with per-segment point counts -------------
     # one-hot segment selection + a SINGLE per-point polynomial evaluation:
@@ -427,8 +467,9 @@ def assemble_action_kernel(lat: Lattice,
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
     # final point: evaluate the refit spline's last *real* segment at t=1
     # (the generic sampler lands on a degenerate padded segment there)
-    psi_f, kappa_f = spl.head_curv_an(coeffs[last], jnp.float32(1.0))
-    pt_f = spl.eval_spline(coeffs[last], jnp.float32(1.0))
+    c_fin = (oh_last[:H] @ coeffs.reshape(H, 8)).reshape(4, 2)
+    psi_f, kappa_f = spl.head_curv_an(c_fin, jnp.float32(1.0))
+    pt_f = spl.eval_spline(c_fin, jnp.float32(1.0))
     is_final = (jnp.arange(p_max) == (n_valid - 1))[:, None]
     path = jnp.where(is_final, jnp.stack([pt_f[0], pt_f[1], psi_f, kappa_f,
                                           jnp.float32(0.0)])[None, :], path)

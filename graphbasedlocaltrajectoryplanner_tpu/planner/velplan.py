@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from graphbasedlocaltrajectoryplanner_tpu.ops import velocity as velops
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
+from graphbasedlocaltrajectoryplanner_tpu.ops import dynshift
 
 # opponent brake-distance ggv (calc_vel_profile_follow.py:134)
 OPP_GGV_AX = 14.0
@@ -58,10 +59,17 @@ def opponent_summary(glob_rl, glob_el, obj_pos, v_obj,
     F = glob_rl.shape[0]
     _, (idx_a, _) = proj.get_s_coord(glob_rl[:, 1:3], obj_pos,
                                      glob_rl[:, 0], closed=True)
-    roll = jnp.mod(idx_a + jnp.arange(f_cap), F - 1)
-    kappa_r = glob_rl[roll, 3]
-    vel_r = glob_rl[roll, 4]
-    el_r = glob_el[roll]
+    # contiguous wrap-around window via block-select + barrel shift —
+    # both an (f_cap,)-index row gather and a vmapped dynamic_slice lower
+    # to while-loops/gathers on this backend (ops/dynshift.py)
+    start = jnp.mod(idx_a, F - 1)
+    glob2 = jnp.concatenate(
+        [jnp.concatenate([glob_rl[:F - 1, 3:5], glob_el[:F - 1, None]],
+                         axis=1)] * 2, axis=0)          # (2(F-1), 3)
+    win = dynshift.select_window(glob2, start, f_cap)
+    kappa_r = win[:, 0]
+    vel_r = win[:, 1]
+    el_r = win[:, 2]
 
     v_start = jnp.minimum(v_obj, vel_r[0])
     gg = jnp.stack([jnp.full((f_cap,), OPP_GGV_AX),
@@ -83,7 +91,7 @@ def _runout_velocity(roll_vel, roll_cum, target_dist):
 
 
 @partial(jax.jit, static_argnames=("control_type", "filt_window",
-                                   "vp_backend"))
+                                   "vp_backend", "dyn_model_exp"))
 def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     n_valid,         # scalar int32 — valid points
                     gg,              # (P, 2) local gg (unscaled)
@@ -366,7 +374,8 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                 vx_sqp=vx_sqp, qp_status=qp_status)
 
 
-@partial(jax.jit, static_argnames=("control_type", "follow_slot"))
+@partial(jax.jit, static_argnames=("control_type", "follow_slot",
+                                   "dyn_model_exp"))
 def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             n_valids,     # (4,)
                             gg,           # (P, 2) shared local gg (unscaled)

@@ -102,3 +102,21 @@ def test_brake_auto_matches_brake():
     out = velops.calc_vel_profile_brake_auto(kappa, el, gg, 40.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_fused_static_physics_matches():
+    """The static-physics factory variant (constants folded into the
+    kernel, pow specialization) matches the traced-physics kernel."""
+    rng = np.random.default_rng(7)
+    R, T = 13, 96
+    modes = np.array([0, 1, 2] * 4 + [0])
+    kappa, ax, ay, ds, vlim, vinit, modes = _mk_rows(rng, R, T, modes)
+    ref = velops.stacked_vel_scan(kappa, ax, ay, kappa, ax, ay, ds, vlim,
+                                  vinit, modes, MACHINES, 1.0, 0.85, 1000.0)
+    f = make_fused_vel_scan(interpret=True, physics=(1.0, 0.85, 1000.0))
+    out = f(kappa, ax, ay, kappa, ax, ay, ds, vlim, vinit, modes, MACHINES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    outb = jax.vmap(lambda k: f(k, ax, ay, k, ax, ay, ds, vlim, vinit,
+                                modes, MACHINES))(jnp.stack([kappa] * 2))
+    np.testing.assert_allclose(np.asarray(outb[1]), np.asarray(out),
+                               atol=1e-5)
