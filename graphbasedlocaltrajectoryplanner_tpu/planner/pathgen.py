@@ -338,17 +338,18 @@ def _fit_clamped_chain_padded(points, el, psi_s, psi_e, n_seg, H):
 
 
 def packed_edge_table(lat: Lattice):
-    """Per-edge assembly data packed into ONE ``(L, N, N, 16 + 8)`` table:
-    ``[npts, len, el_0..el_{S-1}, coeffs_0..7]``.
+    """Per-edge assembly data packed into ONE ``(L, N, N, 10)`` table:
+    ``[npts, len, coeffs_0..7]``.
 
-    The chain walk of :func:`assemble_action_kernel` needs 4 scalars + S
-    element lengths + 8 Hermite coefficients per visited edge; gathers on
-    this backend are latency-bound **per index** with near-free row width
-    (tools/asm_profile_r3.py: one 16-wide packed row costs the same ~2.6 ms
-    at batch 4k as a single int column, while separate per-table gathers
-    cost ~6.4 ms) — so everything is fetched with a single gather.  Cheap
-    to (re)build in-graph: it is loop-invariant in ``lat`` and hoisted out
-    of the scenario vmap by XLA.
+    The chain walk of :func:`assemble_action_kernel` needs 2 scalars + 8
+    Hermite coefficients per visited edge (the stored per-sample element
+    lengths are recomputed from the coefficients — same formula as the
+    offline table build); gathers on this backend are latency-bound **per
+    index** with near-free row width (tools/asm_profile_r3.py: one packed
+    row costs the same ~2.6 ms at batch 4k as a single int column, while
+    separate per-table gathers cost ~6.4 ms) — so everything is fetched
+    with a single gather.  Cheap to (re)build in-graph: it is
+    loop-invariant in ``lat`` and hoisted out of the scenario vmap by XLA.
 
     Coefficient rows reproduce :meth:`Lattice.edge_coeffs` (raceline edges
     reuse the periodic raceline spline, gen_edges.py:82-86); their ``a0``
@@ -367,7 +368,7 @@ def packed_edge_table(lat: Lattice):
                        lat.raceline_coeffs[:, None, None], her)
     return jnp.concatenate(
         [lat.edge_npts[..., None].astype(jnp.float32),
-         lat.edge_len[..., None], lat.samples_el,
+         lat.edge_len[..., None],
          coeffs.reshape(L, N, N, 8)], axis=-1)
 
 
@@ -391,7 +392,6 @@ def assemble_action_kernel(lat: Lattice,
                    node_idx (H+1,), coeffs (H, 8), length scalar)
     """
     H = lat.H_max
-    S = lat.S
     nsafe = jnp.clip(nodes, 0, lat.N - 1)
     seg_active = jnp.arange(H) < h_eff
 
@@ -402,11 +402,10 @@ def assemble_action_kernel(lat: Lattice,
     # column = the exact end-node position.
     packed = packed_edge_table(lat)
     m_all = nsafe[jnp.clip(jnp.arange(H + 1) + 1, 0, H)]
-    rows_e = packed[win_layers, nsafe, m_all]           # (H+1, 16+8)
+    rows_e = packed[win_layers, nsafe, m_all]           # (H+1, 10)
     npts_e = jnp.where(seg_active, rows_e[:H, 0].astype(jnp.int32), 1)
     len_e = jnp.where(seg_active, rows_e[:H, 1], 1.0)
-    seg_el = rows_e[:H, 2:2 + S]                        # (H, S), last col 0
-    ecoeffs = rows_e[:, 2 + S:2 + S + 8]                # (H+1, 8)
+    ecoeffs = rows_e[:, 2:10]                           # (H+1, 8)
 
     node_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(npts_e - 1).astype(jnp.int32)])
@@ -432,12 +431,10 @@ def assemble_action_kernel(lat: Lattice,
     # --- sample the refit chain with per-segment point counts -------------
     # one-hot segment selection + a SINGLE per-point polynomial evaluation:
     # the per-point "gather" of every per-segment table is ONE one-hot
-    # matmul over a concatenated (H, 8+S+2) table (MXU-friendly; plain
+    # matmul over a concatenated (H, 8+2+8) table (MXU-friendly; plain
     # coeffs[seg_id] gathers lower poorly under vmap, and separate
     # reductions per table each re-walk the (p_max, H) one-hot)
     idxp = jnp.arange(p_max)
-    S = lat.S
-    s_ids = jnp.arange(S, dtype=jnp.float32)
 
     seg_id = jnp.sum((node_idx[1:][None, :] <= idxp[:, None])
                      .astype(jnp.int32), axis=1)
@@ -447,21 +444,27 @@ def assemble_action_kernel(lat: Lattice,
     # corrupt coefficients beyond the 2 cm parity budget); the int columns
     # (node_idx < p_max, npts <= S) are exact in f32
     table = jnp.concatenate(
-        [coeffs.reshape(H, 8), seg_el,
+        [coeffs.reshape(H, 8),
          node_idx[:H, None].astype(coeffs.dtype),
-         npts_e[:, None].astype(coeffs.dtype)], axis=1)  # (H, 8+S+2)
+         npts_e[:, None].astype(coeffs.dtype),
+         ecoeffs[:H]], axis=1)                          # (H, 8+2+8)
     rows = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
     c_p = rows[:, :8].reshape(p_max, 4, 2)              # per-point coeffs
-    el_rows = rows[:, 8:8 + S]                          # (p_max, S)
-    start_p = rows[:, 8 + S].astype(jnp.int32)
-    npts_p = rows[:, 8 + S + 1].astype(jnp.int32)
+    start_p = rows[:, 8].astype(jnp.int32)
+    npts_p = rows[:, 9].astype(jnp.int32)
+    ce_p = rows[:, 10:18].reshape(p_max, 4, 2)          # stored edge coeffs
 
     within = (idxp - start_p).astype(jnp.float32)
     t = jnp.clip(within / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)
     pts = spl.eval_spline(c_p, t)                       # (p_max, 2)
     psi, kappa = spl.head_curv_an(c_p, t)
-    el = jnp.sum(jnp.where(within[:, None] == s_ids[None, :], el_rows, 0.0),
-                 axis=1)
+    # per-point element length of the PRE-refit stored edge: recomputed from
+    # the edge coefficients with the exact offline-table formula
+    # (models/lattice._build_edges: |eval(c, t_{i+1}) - eval(c, t_i)|,
+    # t_i = min(i / (npts - 1), 1))
+    t2 = jnp.clip((within + 1.0) / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)
+    el = jnp.linalg.norm(spl.eval_spline(ce_p, t2) - spl.eval_spline(ce_p, t),
+                         axis=-1)
     el = jnp.where(idxp >= n_valid - 1, 0.0, el)
 
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
