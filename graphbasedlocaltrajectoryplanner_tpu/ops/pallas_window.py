@@ -71,7 +71,7 @@ def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
     start_l = start_l_ref[:, 0]                          # (BB,)
     start_n = start_n_ref[:, 0]
     w_flat = w_ref[:]                                    # (L, N*N)
-    zone = zone_ref[:]                                   # (L, N) f32 1=blocked
+    zone = zone_ref[:]                                   # (BB, L, N) f32 1=blocked
     r_row = rrow_ref[:]                                  # (N, N*N) R_row
     r_col = rcol_ref[:]                                  # (N, N*N) R_col
     if_n = ifn_ref[:]                                    # (BB, NN) flat n ids
@@ -113,8 +113,10 @@ def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
         if not closed:
             off_end = (start_l + h >= L - 1).astype(jnp.float32)
             w_l = jnp.where(off_end[:, None] > 0.5, _INF, w_l)
-        zb_l = jnp.dot(oh_l, zone, preferred_element_type=jnp.float32)
-        zb_n = jnp.dot(oh_n, zone, preferred_element_type=jnp.float32)
+        # per-scenario zone tables: one-hot layer select (elementwise —
+        # each scenario owns its own (L, N) zone mask)
+        zb_l = jnp.sum(oh_l[:, :, None] * zone, axis=1)
+        zb_n = jnp.sum(oh_n[:, :, None] * zone, axis=1)
         zb_rows = jnp.dot(zb_l, r_row,
                           preferred_element_type=jnp.float32)   # (BB, NN)
         zb_cols = jnp.dot(zb_n, r_col,
@@ -174,7 +176,7 @@ def _on_tpu() -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("closed", "h_max", "interpret"))
 def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
-                    zone_block,    # (L, N) bool
+                    zone_block,    # (L, N) bool shared or (B, L, N) per-scenario
                     start_layer,   # (B,) i32
                     start_node,    # (B,) i32
                     slab_layers,   # (B, O, 2) i32
@@ -198,6 +200,11 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
     n_last = last_nodes.shape[1]
     O = hit_slab.shape[1]
 
+    # per-scenario zone masks (VERDICT r2 item 6): a shared (L, N) mask is
+    # broadcast; a (B, L, N) batch gives every fleet member its own zones
+    if zone_block.ndim == 2:
+        zone_block = jnp.broadcast_to(zone_block[None], (B,) + zone_block.shape)
+
     # the flat min/argmin halving tree needs N * 2^k lanes: pad the node
     # axis to the next power of two (padded nodes carry INF cost rows/cols
     # and can never win)
@@ -206,7 +213,7 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         pn = N - N_in
         w = jnp.pad(w, ((0, 0), (0, pn), (0, pn)),
                     constant_values=float(_INF))
-        zone_block = jnp.pad(zone_block, ((0, 0), (0, pn)))
+        zone_block = jnp.pad(zone_block, ((0, 0), (0, 0), (0, pn)))
         hit_slab = jnp.pad(hit_slab,
                            ((0, 0), (0, 0), (0, 0), (0, pn), (0, pn)))
 
@@ -224,6 +231,7 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
                 [x, jnp.full((pad,) + x.shape[1:], val, x.dtype)])
         start_layer = _pad(start_layer)
         start_node = _pad(start_node)
+        zone_block = _pad(zone_block, False)
         slab_layers = _pad(slab_layers, -1)
         hit_slab = _pad(hit_slab, False)
         p_obs = _pad(p_obs)
@@ -246,7 +254,8 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         in_specs=[
             pl.BlockSpec((L, N * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, L, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_B, n_last - 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N * N), lambda i: (0, 0),

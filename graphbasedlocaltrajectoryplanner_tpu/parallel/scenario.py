@@ -34,7 +34,11 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
 from graphbasedlocaltrajectoryplanner_tpu.ops import projection as proj
 from graphbasedlocaltrajectoryplanner_tpu.ops import dynshift
 
-O_PAD = 4
+# padded collision slots (vehicles + their prediction points) — matches
+# the handler's capacity (planner/handler.py O_PAD; arbitrary object lists,
+# ObjectListInterface.py:75-153).  random_scenarios can narrow it per batch
+# for workloads with known-few objects (shapes are static per jit).
+O_PAD = 16
 # constant-path-segment pad length: the stored previous-path prefix spans
 # from the layer cut (<= ~3 layers behind, OTH:703-731) to the warm-start
 # node (t_const <= 0.5 s ahead, OTH:374-378) — ~3*(S-1) + a few rows
@@ -99,38 +103,68 @@ class Scenario:
 
 def random_scenarios(lat: Lattice, batch: int, seed: int = 0,
                      n_objects: int = 1, vel: float = 30.0,
-                     steady_state: bool = True) -> Scenario:
+                     steady_state: bool = True, o_pad: int = None,
+                     n_pred: int = 1) -> Scenario:
     """Generate a batch of scenarios: ego on random raceline layers, the
-    opponents on random on-track nodes ahead.
+    opponents on random on-track nodes ahead, each carrying ``n_pred``
+    constant-velocity prediction points (the handler default is one 200 ms
+    CV point, planner/objects.process_object_list).
 
     ``steady_state=True`` fills the warm-start state the way a running
     planner would (const-path prefix = tail of the raceline edge into the
     start node, previous-solution chain on the raceline) so benchmarks
     measure the full-semantics tick including const-path splicing and the
-    w_last discount."""
+    w_last discount.
+
+    :param o_pad: collision-slot capacity (static shape per compiled
+        batch).  ``None`` sizes it to the slots this batch actually needs
+        (min 4); pass :data:`O_PAD` (= the handler's 16) for
+        arbitrary-object-list capacity."""
     rng = np.random.default_rng(seed)
+    if o_pad is None:
+        need = max(1, n_objects) * (1 + n_pred)
+        o_pad = max(4, -(-need // 4) * 4)
     L = lat.L
     rl = np.asarray(lat.rl_idx)
     node_pos = np.asarray(lat.node_pos)
+    node_psi = np.asarray(lat.node_psi)
     nil = np.asarray(lat.nodes_in_layer)
 
     start_layer = rng.integers(0, L, batch).astype(np.int32)
     start_node = rl[start_layer].astype(np.int32)
-    obj_pos = np.zeros((batch, O_PAD, 2), np.float32)
-    obj_rad = np.zeros((batch, O_PAD), np.float32)
-    obj_vel = np.zeros((batch, O_PAD), np.float32)
-    obj_act = np.zeros((batch, O_PAD), bool)
+    obj_pos = np.zeros((batch, o_pad, 2), np.float32)
+    obj_rad = np.zeros((batch, o_pad), np.float32)
+    obj_vel = np.zeros((batch, o_pad), np.float32)
+    obj_act = np.zeros((batch, o_pad), bool)
+    obj_owner = np.full((batch, o_pad), -1, np.int32)
     for b in range(batch):
-        for k in range(min(n_objects, O_PAD)):
+        k = 0
+        for i in range(n_objects):
+            if k >= o_pad:
+                break
             la = int((start_layer[b] + rng.integers(5, 15)) % L)
             nn = int(rng.integers(0, nil[la]))
+            v = vel * float(rng.uniform(0.4, 0.6))
+            psi = float(node_psi[la, nn])
             obj_pos[b, k] = node_pos[la, nn]
             obj_rad[b, k] = 2.5
-            obj_vel[b, k] = vel * 0.5
+            obj_vel[b, k] = v
             obj_act[b, k] = True
-
-    obj_owner = np.where(obj_act, np.arange(O_PAD)[None, :], -1).astype(
-        np.int32)
+            obj_owner[b, k] = i
+            k += 1
+            # CV prediction points (vehicles_to_arrays slot layout)
+            for j in range(n_pred):
+                if k >= o_pad:
+                    break
+                dt = 0.2 * (j + 1)
+                obj_pos[b, k] = (obj_pos[b, k - 1 - j]
+                                 + np.array([-np.sin(psi), np.cos(psi)])
+                                 * v * dt)
+                obj_rad[b, k] = 2.5
+                obj_vel[b, k] = v
+                obj_act[b, k] = True
+                obj_owner[b, k] = i
+                k += 1
     pos_est = node_pos[start_layer, start_node].astype(np.float32)
     const_path = np.zeros((batch, C_PAD, 5), np.float32)
     const_n = np.zeros(batch, np.int32)
@@ -615,20 +649,32 @@ def _batched_window(lat: Lattice, scen: Scenario, samples_t=None,
             pre["in_win"], obs["obs_node"],
             scen.last_nodes, w_last_factors,
             closed=bool(lat.closed), h_max=int(lat.H_max))
-    vg = jax.vmap(
-        lambda wl, p, iw, on: pg.window_vg(lat, wl, zone_block, p, iw, on))(
-        pre["win_layers"], pre["p_obs"], pre["in_win"], obs["obs_node"])
+    if zone_block.ndim == 3:        # per-scenario zones
+        vg = jax.vmap(
+            lambda wl, zb, p, iw, on: pg.window_vg(lat, wl, zb, p, iw, on))(
+            pre["win_layers"], zone_block, pre["p_obs"], pre["in_win"],
+            obs["obs_node"])
+    else:
+        vg = jax.vmap(
+            lambda wl, p, iw, on: pg.window_vg(lat, wl, zone_block, p, iw,
+                                               on))(
+            pre["win_layers"], pre["p_obs"], pre["in_win"], obs["obs_node"])
     window = dict(best=best, bp=bp, vg=vg, win_layers=pre["win_layers"],
                   h_goal=pre["h_goal"])
     return obs, window
 
 
-def make_batched_tick(lat: Lattice, use_pallas: bool = None, **kw):
+def make_batched_tick(lat: Lattice, use_pallas: bool = None,
+                      zone_block=None, **kw):
     """vmap-over-scenarios tick, jitted once (single chip).
 
     :param use_pallas: route the window DP through the fused Pallas kernel
         (ops/pallas_window.py).  Default: on for TPU backends, off for CPU
-        (where the kernel would run in the slow interpreter)."""
+        (where the kernel would run in the slow interpreter).
+    :param zone_block: ``(L, N)`` shared zone mask, or ``(B, L, N)`` for
+        per-scenario zones (different blocked zones per fleet member —
+        VERDICT r2 item 6; reference semantics per mask:
+        gen_local_node_template.py:43-99)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     samples_t = None
@@ -636,23 +682,29 @@ def make_batched_tick(lat: Lattice, use_pallas: bool = None, **kw):
         from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision \
             import build_samples_t
         samples_t = build_samples_t(lat.samples_xy)
+    per_scen_zones = zone_block is not None and zone_block.ndim == 3
 
     def tick(scen):
         # batch size is static at trace time: small batches stay on the XLA
         # scan path (the Pallas kernel's grid overhead dominates below ~2
         # blocks and single-replan latency matters for the 100 ms budget)
         if use_pallas and scen.start_layer.shape[0] >= 64:
-            obs, window = _batched_window(lat, scen, samples_t)
+            obs, window = _batched_window(lat, scen, samples_t,
+                                          zone_block=zone_block)
             return jax.vmap(
                 lambda s, o, w: scenario_tick(
                     lat, s, precomputed=dict(obs=o, window=w), **kw))(
                 scen, obs, window)
-        return jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
+        if per_scen_zones:
+            return jax.vmap(lambda s, zb: scenario_tick(
+                lat, s, zone_block=zb, **kw))(scen, zone_block)
+        return jax.vmap(lambda s: scenario_tick(
+            lat, s, zone_block=zone_block, **kw))(scen)
     return jax.jit(tick)
 
 
 def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
-                      use_pallas: bool = None, **kw):
+                      use_pallas: bool = None, zone_block=None, **kw):
     """Mesh-sharded tick: scenarios data-parallel over every mesh axis with
     fleet statistics reduced over XLA collectives (``pmin``/``psum``) —
     replacing what would be NCCL allreduce elsewhere (SURVEY.md section 5,
@@ -675,17 +727,24 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
         samples_t = build_samples_t(lat.samples_xy)
 
     axes = tuple(mesh.axis_names)
+    per_scen_zones = zone_block is not None and zone_block.ndim == 3
 
-    def shard_body(scen):
-        # runs per mesh shard; scen leaves carry the local batch slice
+    def shard_body(scen, zb):
+        # runs per mesh shard; scen leaves (and per-scenario zones when
+        # given) carry the local batch slice
         if use_pallas:
-            obs, window = _batched_window(lat, scen, samples_t)
+            obs, window = _batched_window(lat, scen, samples_t,
+                                          zone_block=zb)
             res = jax.vmap(
                 lambda s, o, w: scenario_tick(
                     lat, s, precomputed=dict(obs=o, window=w), **kw))(
                 scen, obs, window)
+        elif per_scen_zones:
+            res = jax.vmap(lambda s, z: scenario_tick(
+                lat, s, zone_block=z, **kw))(scen, zb)
         else:
-            res = jax.vmap(lambda s: scenario_tick(lat, s, **kw))(scen)
+            res = jax.vmap(lambda s: scenario_tick(
+                lat, s, zone_block=zb, **kw))(scen)
         # fleet statistics: genuine cross-device (and cross-host, when a
         # dcn axis is present) collectives
         cost = jnp.where(res["valid"], res["cost"], jnp.inf)
@@ -697,10 +756,16 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
         )
         return res, stats
 
+    P = jax.sharding.PartitionSpec
+    if per_scen_zones:
+        shmapped = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(axes), P(axes)),
+            out_specs=(P(axes), P()))
+        return jax.jit(lambda scen: shmapped(scen, zone_block))
+    body = lambda scen: shard_body(scen, zone_block)
     shmapped = jax.shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(jax.sharding.PartitionSpec(axes),),
-        out_specs=(jax.sharding.PartitionSpec(axes),
-                   jax.sharding.PartitionSpec()),
-    )
+        body, mesh=mesh,
+        in_specs=(P(axes),),
+        out_specs=(P(axes), P()))
     return jax.jit(shmapped)
