@@ -229,52 +229,77 @@ def _build_edges(node_pos, node_psi, node_valid, rl_idx, nodes_in_layer,
     if not closed:
         valid[L - 1] = False
 
-    # hermite coefficients for all candidate edges (batched)
-    p0 = jnp.asarray(node_pos)[:, :, None, :]             # (L,N,1,2)
-    p1 = jnp.asarray(node_pos[nxt])[:, None, :, :]        # (L,1,N,2)
-    psi0 = jnp.asarray(node_psi)[:, :, None]
-    psi1 = jnp.asarray(node_psi[nxt])[:, None, :]
-    coeffs = spl.fit_hermite(jnp.broadcast_to(p0, (L, N, N, 2)),
-                             jnp.broadcast_to(p1, (L, N, N, 2)),
-                             jnp.broadcast_to(psi0, (L, N, N)),
-                             jnp.broadcast_to(psi1, (L, N, N)))  # (L,N,N,4,2)
+    # hermite coefficients for all candidate edges — FLOAT64 numpy (the
+    # reference builds its graph in f64; f32 edge costs differ by up to
+    # ~3e-4 relative, enough to flip near-optimal DP argmins whose hidden
+    # tail bleeds past the export cut — observed as ~4-8 cm deviations on
+    # berlin before this change; stored tensors are cast to f32 at the end)
+    p0 = np.asarray(node_pos, np.float64)[:, :, None, :]  # (L,N,1,2)
+    p1 = np.asarray(node_pos, np.float64)[nxt][:, None, :, :]
+    psi0 = np.asarray(node_psi, np.float64)[:, :, None]
+    psi1 = np.asarray(node_psi, np.float64)[nxt][:, None, :]
+    dist = np.linalg.norm(p1 - p0, axis=-1, keepdims=True)
+    d0 = np.stack([-np.sin(psi0), np.cos(psi0)], axis=-1) * dist
+    d1 = np.stack([-np.sin(psi1), np.cos(psi1)], axis=-1) * dist
+    dp = p1 - p0
+    coeffs = np.stack([np.broadcast_to(p0, dp.shape), d0,
+                       3.0 * dp - 2.0 * d0 - d1,
+                       -2.0 * dp + d0 + d1], axis=-2)     # (L,N,N,4,2)
     # raceline edges reuse the periodic raceline spline (gen_edges.py:82-86)
     is_rl_edge = ((n_idx[None, :, None] == rl_idx[:, None, None])
                   & (m_idx == rl_idx[nxt][:, None, None]))
-    coeffs = jnp.where(jnp.asarray(is_rl_edge)[..., None, None],
-                       jnp.asarray(raceline_coeffs)[:, None, None, :, :], coeffs)
+    coeffs = np.where(is_rl_edge[..., None, None],
+                      np.asarray(raceline_coeffs,
+                                 np.float64)[:, None, None, :, :], coeffs)
+
+    def _eval(c, t):
+        t = t[..., None]
+        return (c[..., 0, :] + t * (c[..., 1, :]
+                + t * (c[..., 2, :] + t * c[..., 3, :])))
+
+    def _kappa(c, t):
+        t = t[..., None]
+        d = c[..., 1, :] + t * (2.0 * c[..., 2, :] + t * 3.0 * c[..., 3, :])
+        dd = 2.0 * c[..., 2, :] + t * 6.0 * c[..., 3, :]
+        denom = np.power(d[..., 0] ** 2 + d[..., 1] ** 2, 1.5)
+        return (d[..., 0] * dd[..., 1] - d[..., 1] * dd[..., 0]) \
+            / np.maximum(denom, 1e-12)
 
     # sampling: n_pts per edge from 15-pt approx length (sample_uniform)
-    lengths15 = spl.spline_lengths(coeffs)                # (L,N,N)
-    n_pts = jnp.minimum(
-        jnp.ceil(lengths15 / cfg.stepsize_approx).astype(jnp.int32) + 1, 10**9)
-    n_pts = jnp.maximum(n_pts, 2)
-    S = int(np.max(np.where(np.asarray(valid), np.asarray(n_pts), 2)))
+    t15 = np.linspace(0.0, 1.0, 15)
+    pts15 = _eval(coeffs[:, :, :, None, :, :], t15[None, None, None, :])
+    lengths15 = np.sum(np.linalg.norm(np.diff(pts15, axis=3), axis=-1),
+                       axis=-1)                           # (L,N,N)
+    n_pts = np.ceil(lengths15 / cfg.stepsize_approx).astype(np.int64) + 1
+    n_pts = np.maximum(n_pts, 2)
+    S = int(np.max(np.where(valid, n_pts, 2)))
 
-    t_idx = jnp.arange(S)
-    t_vals = jnp.minimum(t_idx[None, None, None, :]
-                         / jnp.maximum(n_pts[..., None] - 1, 1), 1.0)
-    samples = spl.eval_spline(coeffs[:, :, :, None, :, :], t_vals)  # (L,N,N,S,2)
-    _, kappa_s = spl.head_curv_an(coeffs[:, :, :, None, :, :], t_vals)
+    t_idx = np.arange(S)
+    t_vals = np.minimum(t_idx[None, None, None, :]
+                        / np.maximum(n_pts[..., None] - 1, 1), 1.0)
+    samples = _eval(coeffs[:, :, :, None, :, :], t_vals)  # (L,N,N,S,2)
+    kappa_s = _kappa(coeffs[:, :, :, None, :, :], t_vals)
 
     # edge chord length over its own samples (GraphBase.add_edge:425-429)
-    seg = jnp.linalg.norm(jnp.diff(samples, axis=3), axis=-1)       # (L,N,N,S-1)
+    seg = np.linalg.norm(np.diff(samples, axis=3), axis=-1)  # (L,N,N,S-1)
     seg_valid = t_idx[None, None, None, 1:] <= (n_pts[..., None] - 1)
-    edge_len = jnp.sum(jnp.where(seg_valid, seg, 0.0), axis=-1)
+    edge_len = np.sum(np.where(seg_valid, seg, 0.0), axis=-1)
 
     # curvature kill (gen_edges.py:139-157): vehicle turn radius and
     # min-race-speed corner radius; raceline-to-raceline edges always kept
-    kappa_abs_max = jnp.max(jnp.abs(kappa_s), axis=-1)
-    vel_lim = jnp.asarray(vel_rl)[:, None, None] * cfg.min_vel_race
+    kappa_abs_max = np.max(np.abs(kappa_s), axis=-1)
+    vel_lim = np.asarray(vel_rl)[:, None, None] * cfg.min_vel_race
     min_turn = vel_lim ** 2 / 10.0
     kappa_ok = (kappa_abs_max <= 1.0 / cfg.veh_turn) & \
-               (kappa_abs_max <= 1.0 / jnp.maximum(min_turn, 1e-12))
-    keep = kappa_ok | jnp.asarray(is_rl_edge)
-    valid = np.asarray(valid & np.asarray(keep))
+               (kappa_abs_max <= 1.0 / np.maximum(min_turn, 1e-12))
+    keep = kappa_ok | is_rl_edge
+    valid = np.asarray(valid & keep)
 
+    # edge_len / kappa_s stay float64 — the offline cost must be computed
+    # at reference precision; storage casts to f32 happen in build_lattice
     return (valid, np.asarray(coeffs), np.asarray(samples, np.float32),
-            np.asarray(n_pts, np.int32), np.asarray(edge_len, np.float32),
-            np.asarray(kappa_s, np.float32), np.asarray(is_rl_edge), S)
+            np.asarray(n_pts, np.int32), edge_len, kappa_s,
+            np.asarray(is_rl_edge), S)
 
 
 def _prune(valid: np.ndarray, closed: bool) -> np.ndarray:
@@ -357,15 +382,21 @@ def build_lattice(gt: GlobalTrajectory, cfg: OfflineConfig,
     length_rl = [float(np.sum(gt.el_lengths[a:b]))
                  for a, b in zip(idx[:-1], idx[1:])] + [0.0]
 
-    node_alpha, node_psi, node_valid, rl_idx, nodes_in_layer = \
-        build_node_skeleton(refline, normvec, alpha, width_right, width_left,
-                            length_rl, cfg, closed)
+    # f64 through the geometric build (headings / raceline spline / edge
+    # fan-out): the reference builds its graph at float64, and f32 noise in
+    # node headings (~1e-7 rad) perturbs edge curvatures enough (~6e-8) to
+    # flip near-optimal DP argmins online (observed on berlin, PARITY.md)
+    with jax.enable_x64():
+        node_alpha, node_psi, node_valid, rl_idx, nodes_in_layer = \
+            build_node_skeleton(refline, normvec, alpha, width_right,
+                                width_left, length_rl, cfg, closed)
+        raceline = refline + normvec * alpha[:, None]
+        raceline_coeffs = np.asarray(
+            spl.fit_periodic_chain(
+                jnp.asarray(np.vstack([raceline, raceline[:1]]),
+                            jnp.float64)))
     L, N = node_alpha.shape
     node_pos = refline[:, None, :] + normvec[:, None, :] * node_alpha[..., None]
-
-    raceline = refline + normvec * alpha[:, None]
-    raceline_coeffs = np.asarray(
-        spl.fit_periodic_chain(jnp.asarray(np.vstack([raceline, raceline[:1]]))))
 
     valid, coeffs, samples, n_pts, edge_len, kappa_s, is_rl_edge, S = \
         _build_edges(node_pos, node_psi, node_valid, rl_idx, nodes_in_layer,

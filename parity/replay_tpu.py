@@ -42,9 +42,23 @@ class FakeClock:
         self.t += dt
 
 
+EXEC_HORIZON_M = 100.0     # near-field window: the part of the horizon the
+#                            vehicle actually executes before the next
+#                            replans overwrite it (~5 s at race speed)
+
+
 def compare_traj(ref_traj, tpu_traj):
     """Max position [m] / velocity [m/s] deviation, TPU interpolated at the
-    reference's relative-s stations over the common arc-length range."""
+    reference's relative-s stations over the common arc-length range.
+
+    Returns (d_pos, d_vel, d_pos_exec, d_vel_exec): full-horizon maxima
+    plus maxima restricted to the first ``EXEC_HORIZON_M`` metres.  The far
+    tail of a 300 m horizon is replanned every tick and is knife-edge
+    sensitive: a warm-start split landing within ~1e-4 m of a trajectory
+    row boundary can shift the plan-start layer by one, which moves the C2
+    refit's end layer and bends the last segments by a few cm (observed
+    once on berlin; PARITY.md "Knife edges").
+    """
     s_ref = ref_traj[:, 0] - ref_traj[0, 0]
     s_tpu = tpu_traj[:, 0] - tpu_traj[0, 0]
     s_max = min(s_ref[-1], s_tpu[-1])
@@ -55,7 +69,9 @@ def compare_traj(ref_traj, tpu_traj):
     v = np.interp(s_q, s_tpu, tpu_traj[:, 5])
     d_pos = np.hypot(x - ref_traj[m, 1], y - ref_traj[m, 2])
     d_vel = np.abs(v - ref_traj[m, 5])
-    return float(np.max(d_pos)), float(np.max(d_vel))
+    near = s_q <= EXEC_HORIZON_M
+    return (float(np.max(d_pos)), float(np.max(d_vel)),
+            float(np.max(d_pos[near])), float(np.max(d_vel[near])))
 
 
 def replay(fixture_path, ticks=None, verbose=False):
@@ -70,9 +86,16 @@ def replay(fixture_path, ticks=None, verbose=False):
         from graphbasedlocaltrajectoryplanner_tpu.planner.facade import (
             GraphLTPL)
 
+        if "csv_path" in fix.files:
+            csv_path = fix["csv_path"].item().decode()
+            if not os.path.isabs(csv_path) or not os.path.isfile(csv_path):
+                csv_path = os.path.join(HERE, "fixtures",
+                                        os.path.basename(csv_path))
+        else:
+            csv_path = (REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
+                        + track + ".csv")
         path_dict = {
-            "globtraj_input_path": REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
-            + track + ".csv",
+            "globtraj_input_path": csv_path,
             "graph_store_path": os.path.join(TOP, "artifacts",
                                              f"parity_lattice_{track}.npz"),
             "ltpl_offline_param_path": REF + "/params/ltpl_config_offline.ini",
@@ -89,9 +112,12 @@ def replay(fixture_path, ticks=None, verbose=False):
                             - np.pi / 2)
         ltpl.set_startpos(pos_est=pos_est, heading_est=heading_est)
 
-        with_objects = any(k.endswith("_obj") for k in fix.files)
+        if "with_zone" in fix.files:
+            with_zone = bool(fix["with_zone"])
+        else:       # legacy fixtures: the _obj scenario carried the zone
+            with_zone = any(k.endswith("_obj") for k in fix.files)
         zones = None
-        if with_objects:
+        if with_zone:
             # the std-example blocked zone (main_std_example.py:90-93),
             # identical to parity/run_reference.py --objects
             zones = {"sample_zone": [
@@ -126,9 +152,10 @@ def replay(fixture_path, ticks=None, verbose=False):
             for a in sorted(tpu_actions - ref_actions):
                 extra.append((tick, a))
             for a in sorted(ref_actions & tpu_actions):
-                d_pos, d_vel = compare_traj(fix[f"t{tick:04d}_a_{a}"],
-                                            np.asarray(traj_set[a][0], float))
-                rows.append((tick, a, d_pos, d_vel))
+                d_pos, d_vel, d_pos_e, d_vel_e = compare_traj(
+                    fix[f"t{tick:04d}_a_{a}"],
+                    np.asarray(traj_set[a][0], float))
+                rows.append((tick, a, d_pos, d_vel, d_pos_e, d_vel_e))
                 if verbose and tick % 25 == 0:
                     print(f"tick {tick:4d} {a:9s} d_pos={d_pos*100:7.2f} cm  "
                           f"d_vel={d_vel:6.3f} m/s")
@@ -149,6 +176,8 @@ def replay(fixture_path, ticks=None, verbose=False):
         "mean_d_pos_m": float(np.mean(d_pos_all)),
         "max_d_vel_mps": float(np.max(d_vel_all)),
         "p99_d_vel_mps": float(np.percentile(d_vel_all, 99)),
+        "max_d_pos_exec_m": float(np.max([r[4] for r in rows])),
+        "max_d_vel_exec_mps": float(np.max([r[5] for r in rows])),
         "worst_tick": int(rows[int(np.argmax(d_pos_all))][0]),
     }
     return report, rows

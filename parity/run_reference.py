@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--objects", action="store_true",
                     help="std-example scenario: dummy opponent + blocked zone")
+    ap.add_argument("--objects2", action="store_true",
+                    help="two dynamic opponents (no zone)")
+    ap.add_argument("--csv", default=None,
+                    help="explicit track CSV path (e.g. a truncated/"
+                         "unclosed track); --track becomes the label")
     args = ap.parse_args()
 
     clock = FakeClock()
@@ -68,13 +73,14 @@ def main():
 
     import graph_ltpl  # noqa: E402  (the reference package)
 
+    suffix = "_obj" if args.objects else ("_obj2" if args.objects2 else "")
     out = args.out or os.path.join(
-        HERE, "fixtures",
-        f"ref_{args.track}_{args.ticks}{'_obj' if args.objects else ''}.npz")
+        HERE, "fixtures", f"ref_{args.track}_{args.ticks}{suffix}.npz")
 
+    csv_path = args.csv or (REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
+                            + args.track + ".csv")
     path_dict = {
-        "globtraj_input_path": REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
-        + args.track + ".csv",
+        "globtraj_input_path": csv_path,
         "graph_store_path": os.path.join(HERE, "fixtures",
                                          f"ref_graph_{args.track}.pckl"),
         "ltpl_offline_param_path": REF + "/params/ltpl_config_offline.ini",
@@ -99,6 +105,14 @@ def main():
     obj_list = []
     zones = None
     obj_dummy = None
+    obj_dummies = []
+    if args.objects2:
+        # two opponents replaying the raceline at different speeds/offsets
+        # (the dummy reads the track from driving_task.ini = monteblanco)
+        for i, (vs, s0) in enumerate([(0.3, 150.0), (0.45, 260.0)]):
+            obj_dummies.append(
+                graph_ltpl.testing_tools.src.objectlist_dummy.
+                ObjectlistDummy(dynamic=True, vel_scale=vs, s0=s0))
     if args.objects:
         obj_dummy = graph_ltpl.testing_tools.src.objectlist_dummy. \
             ObjectlistDummy(dynamic=True, vel_scale=0.3, s0=150.0)
@@ -119,6 +133,13 @@ def main():
 
         if obj_dummy is not None:
             obj_list = obj_dummy.get_objectlist()
+        elif obj_dummies:
+            obj_list = []
+            for i, d in enumerate(obj_dummies):
+                ol = d.get_objectlist()
+                for o in ol:
+                    o["id"] = i + 1
+                obj_list.extend(ol)
 
         ltpl_obj.calc_paths(prev_action_id=sel_action, object_list=obj_list,
                             blocked_zones=zones)
@@ -152,6 +173,9 @@ def main():
     record["ticks"] = np.int64(args.ticks)
     record["track"] = np.bytes_(args.track.encode())
     record["tick_dt"] = np.float64(TICK_DT)
+    record["with_zone"] = np.bool_(zones is not None)
+    if args.csv:
+        record["csv_path"] = np.bytes_(os.path.abspath(args.csv).encode())
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez_compressed(out, **record)
     print(f"[ref] fixture written: {out}")

