@@ -94,7 +94,7 @@ def shard_scenarios(scen, mesh):
 
 
 def run_multihost_selftest(batch_per_device: int = 8, iters: int = 2,
-                           seed: int = 0):
+                           seed: int = 0, return_results: bool = False):
     """One multi-process sharded-tick run (called inside an initialized
     process): builds the quick oval lattice, runs ``make_sharded_tick``
     over the DCN mesh, and returns the fleet statistics — which every
@@ -129,7 +129,7 @@ def run_multihost_selftest(batch_per_device: int = 8, iters: int = 2,
         res, stats = tick(scen)
     jax.block_until_ready(stats)
     dt = time.perf_counter() - t0
-    return dict(
+    rep = dict(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         global_devices=n_dev,
@@ -138,3 +138,16 @@ def run_multihost_selftest(batch_per_device: int = 8, iters: int = 2,
         fleet_min_cost=float(stats["fleet_min_cost"]),
         fleet_actions=int(stats["fleet_actions"]),
     )
+    if return_results:
+        # gather the globally-sharded results to every host so the test
+        # harness can compare them against a single-process run of the
+        # SAME scenario batch (result-equality gate, VERDICT r2 item 9)
+        from jax.experimental import multihost_utils
+        cost = multihost_utils.process_allgather(res["cost"], tiled=True)
+        valid = multihost_utils.process_allgather(res["valid"], tiled=True)
+        trajs = multihost_utils.process_allgather(res["trajs"], tiled=True)
+        rep["cost"] = np.asarray(cost).tolist()
+        rep["valid"] = np.asarray(valid).astype(int).tolist()
+        rep["traj_sum"] = np.sum(np.abs(np.asarray(trajs, np.float64)),
+                                 axis=(1, 2, 3)).tolist()
+    return rep
