@@ -85,10 +85,22 @@ def main():
             jax.block_until_ready(tick1(scen1))
             lats.append(time.perf_counter() - t0)
         # single-replan (batch-1) latency vs the reference's per-replan
-        # 100 ms budget (ltpl_config_online.ini:84-87)
-        details["single_replan_latency_ms_p50"] =             float(np.percentile(lats, 50) * 1e3)
-        details["single_replan_latency_ms_p99"] =             float(np.percentile(lats, 99) * 1e3)
+        # 100 ms budget (ltpl_config_online.ini:84-87).  Wall latency on
+        # this dev harness is dominated by the remote-tunnel round trip
+        # (~25 ms/call); the device-compute time is reported separately.
+        details["single_replan_latency_ms_p50"] = \
+            float(np.percentile(lats, 50) * 1e3)
+        details["single_replan_latency_ms_p99"] = \
+            float(np.percentile(lats, 99) * 1e3)
         details["single_replan_budget_ms"] = 100.0
+        try:
+            from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling \
+                import stage_timings_trace
+            st1 = stage_timings_trace(lat, scen1, iters=5)
+            if st1:
+                details["single_replan_device_compute_ms"] = st1["total_ms"]
+        except Exception:
+            pass
     except Exception as e:            # pragma: no cover
         details["latency_error"] = str(e)
 
@@ -112,11 +124,13 @@ def main():
     except Exception as e:            # pragma: no cover
         details["multi_opponent_error"] = str(e)
 
-    # per-stage breakdown + roofline accounting (VERDICT round-1 item 9)
+    # per-stage breakdown (profiler-trace scope attribution; falls back to
+    # the cumulative-prefix timing where no trace can be captured)
     try:
         from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling import (
-            stage_timings)
-        details["stages"] = stage_timings(lat, scen, iters=10)
+            stage_timings, stage_timings_trace)
+        details["stages"] = (stage_timings_trace(lat, scen, iters=3)
+                             or stage_timings(lat, scen, iters=10))
     except Exception as e:            # pragma: no cover
         details["stages_error"] = str(e)
 

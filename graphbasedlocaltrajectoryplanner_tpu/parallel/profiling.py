@@ -10,6 +10,7 @@ the ``profile_stages.py`` devtool.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -26,6 +27,77 @@ def _time(fn, *a, iters=10):
         out = fn(*a)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
+
+
+SCOPE_TO_STAGE = (
+    ("gltpl.plan_window_pallas", "window"),
+    ("gltpl.hit_slab_pallas", "window"),
+    ("gltpl.object_selection", "window"),
+    ("gltpl.plan_window", "window"),
+    ("gltpl.const_path_objects", "window"),
+    ("gltpl.backtrace", "assembly"),
+    ("gltpl.assemble", "assembly"),
+    ("gltpl.const_splice", "assembly"),
+    ("gltpl.velocity", "velocity"),
+    ("gltpl.emergency", "velocity"),
+)
+
+
+def stage_timings_trace(lat, scen, iters: int = 3, use_pallas: bool = None):
+    """Per-stage attribution from a device profiler trace of the REAL fused
+    tick (named scopes in parallel/scenario.py), replacing the cumulative-
+    prefix timing whose separately-jitted stage cuts stopped matching the
+    production program once XLA began scheduling across the cut points.
+
+    Sums device op durations by scope prefix; ops outside any named scope
+    are reported as ``other``.  Returns None when no trace events can be
+    captured on this backend.
+    """
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    import jax
+
+    tick = sc.make_batched_tick(lat, use_pallas=use_pallas)
+    out = tick(scen)
+    jax.block_until_ready(out)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(iters):
+                out = tick(scen)
+            jax.block_until_ready(out)
+        files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not files:
+            return None
+        with gzip.open(files[0]) as fh:
+            tr = _json.load(fh)
+
+    stage_us = {"window": 0.0, "assembly": 0.0, "velocity": 0.0,
+                "other": 0.0}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e or "args" not in e:
+            continue
+        nm = e["args"].get("tf_op") or e["args"].get("long_name") or ""
+        if not nm.startswith("jit(tick)"):
+            continue
+        stage = "other"
+        for scope, st in SCOPE_TO_STAGE:
+            if scope in nm:
+                stage = st
+                break
+        stage_us[stage] += e["dur"]
+    total = sum(stage_us.values())
+    if total <= 0:
+        return None
+    ms = {k: v / iters / 1e3 for k, v in stage_us.items()}
+    return dict(stage_ms={k: round(v, 3) for k, v in ms.items()},
+                stage_share={k: round(v / (total / iters / 1e3), 3)
+                             for k, v in ms.items()},
+                total_ms=round(total / iters / 1e3, 3),
+                method="profiler-trace scope attribution")
 
 
 def stage_timings(lat, scen, iters: int = 10, use_pallas: bool = None,
