@@ -469,17 +469,15 @@ def assemble_action_kernel(lat: Lattice,
 
     path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
     # final point: evaluate the refit spline's last *real* segment at t=1
-    # (the generic sampler lands on a degenerate padded segment there)
+    # (the generic sampler lands on a degenerate padded segment there);
+    # padding rows freeze at the same final-point values, so one select
+    # covers the final row AND the repeated-end padding
     c_fin = (oh_last[:H] @ coeffs.reshape(H, 8)).reshape(4, 2)
     psi_f, kappa_f = spl.head_curv_an(c_fin, jnp.float32(1.0))
     pt_f = spl.eval_spline(c_fin, jnp.float32(1.0))
-    is_final = (jnp.arange(p_max) == (n_valid - 1))[:, None]
-    path = jnp.where(is_final, jnp.stack([pt_f[0], pt_f[1], psi_f, kappa_f,
-                                          jnp.float32(0.0)])[None, :], path)
-    # freeze padding rows at the final point values
-    final_row = path[jnp.clip(n_valid - 1, 0, p_max - 1)]
-    pad = (jnp.arange(p_max) >= n_valid)[:, None]
-    path = jnp.where(pad, final_row[None, :], path)
+    fin = jnp.stack([pt_f[0], pt_f[1], psi_f, kappa_f, jnp.float32(0.0)])
+    path = jnp.where((jnp.arange(p_max) >= n_valid - 1)[:, None],
+                     fin[None, :], path)
 
     coeffs_flat = jnp.concatenate([coeffs[..., 0], coeffs[..., 1]], axis=-1)
     return dict(path=path, n_valid=n_valid, node_idx=node_idx,
