@@ -65,17 +65,17 @@ def main():
     out = tick(scen)
     jax.block_until_ready(out)
 
-    # best of 3 timing windows: the tunneled dev chip shows ~10% run-to-run
-    # clock variance; peak sustained throughput is the stable statistic
-    best_dt = None
+    # median of 3 timing windows: the tunneled dev chip shows ~10%
+    # run-to-run clock variance AND occasional bogus windows where
+    # block_until_ready returns early (a min would amplify those)
+    dts = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = tick(scen)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    replans_per_sec = batch * iters / best_dt
+        dts.append(time.perf_counter() - t0)
+    replans_per_sec = batch * iters / float(np.median(dts))
 
     # single-replan latency (the 100 ms real-time budget view): fused tick
     # at batch 1, per-call blocking

@@ -155,18 +155,27 @@ def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
         w_right = jnp.where(((into > 0.5) & right_cols)
                             | ((outof > 0.5) & right_rows), _INF, w_def)
 
-        new_best = []
-        for s, w_s in enumerate((w_def, w_base, w_left, w_right)):
-            rep = jnp.dot(best[s], r_row,
-                          preferred_element_type=jnp.float32)      # (BB, NN)
-            bn, bi = _min_argmin_over_n(rep + w_s, N, if_n)
-            bn = jnp.minimum(bn, _INF)
-            new_best.append(bn)
-            best_ref[:, pl.ds(s * (H + 1) + h + 1, 1), :] = bn[:, None, :]
-            bp_ref[:, pl.ds(s * (H + 1) + h + 1, 1), :] = bi[:, None, :]
-        return tuple(new_best)
+        # all 4 slots relax in ONE stacked (4*BB, NN) tile: one MXU dot and
+        # one min/argmin halving tree instead of four — the tree's per-op
+        # issue overhead amortizes over 4x-taller tiles
+        w_stack = jnp.concatenate([w_def, w_base, w_left, w_right], axis=0)
+        rep = jnp.dot(best, r_row,
+                      preferred_element_type=jnp.float32)      # (4BB, NN)
+        bn, bi = _min_argmin_over_n(rep + w_stack, N, if_n4)
+        bn = jnp.minimum(bn, _INF)
+        for s in range(N_SLOTS):
+            best_ref[:, s * (H + 1) + h + 1, :] = bn[s * BB:(s + 1) * BB]
+            bp_ref[:, s * (H + 1) + h + 1, :] = bi[s * BB:(s + 1) * BB]
+        return bn
 
-    jax.lax.fori_loop(0, H, step, (best0,) * N_SLOTS)
+    if_n4 = jnp.concatenate([if_n] * N_SLOTS, axis=0)
+    # static python unroll over the window steps: H is small and static,
+    # and dynamic sublane-indexed stores cost tens of cycles each in
+    # Mosaic (8 stores/step — the same pattern that made the v1 velocity
+    # kernel slower than the XLA scan)
+    best = jnp.concatenate([best0] * N_SLOTS, axis=0)
+    for h in range(H):
+        best = step(h, best)
 
 
 def _on_tpu() -> bool:
