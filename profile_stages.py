@@ -28,14 +28,15 @@ def main():
         load_lattice)
     from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
     from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling import (
-        stage_timings)
+        stage_timings, stage_timings_trace)
 
     lat = load_lattice(args.lattice)
     if lat is None:
         raise SystemExit(f"could not load lattice from {args.lattice} "
                          "(run bench.py once to build it)")
     scen = sc.random_scenarios(lat, batch=args.batch, seed=0, n_objects=1)
-    rep = stage_timings(lat, scen, iters=args.iters)
+    rep = (stage_timings_trace(lat, scen, iters=min(args.iters, 5))
+           or stage_timings(lat, scen, iters=args.iters))
     print(json.dumps(rep, indent=1))
 
 
