@@ -60,7 +60,7 @@ def _min_argmin_over_n(x, N, if_n=None):
 
 
 def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
-            start_l_ref, start_n_ref, slab_ref, hit_ref,
+            start_l_ref, start_n_ref, blocked_ref,
             p_obs_ref, in_win_ref, obs_node_ref, last_ref,
             best_ref, bp_ref, *, L, N, H, n_last, closed):
     BB = start_l_ref.shape[0]
@@ -76,9 +76,6 @@ def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
     r_col = rcol_ref[:]                                  # (N, N*N) R_col
     if_n = ifn_ref[:]                                    # (BB, NN) flat n ids
     if_m = ifm_ref[:]                                    # (BB, NN) flat m ids
-    hit = hit_ref[:]                                     # (BB, O, 2, NN) f32
-    slab2 = slab_ref[:]                                  # (BB, 2*O) i32
-    O = hit.shape[1]
     last = last_ref[:]                                   # (BB, n_last) i32
     facs = fac_ref[:]                                    # (BB, n_last-1) f32
     in_win = in_win_ref[:, 0] != 0
@@ -139,12 +136,10 @@ def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
                            & (w_base < _FEAS),
                            w_base * fac[:, None], w_base)
 
-        # object slab blocking (straight/left/right slots) — f32 mask
-        # arithmetic (sub-32-bit expand-dims do not lower)
-        sel0 = (slab2[:, :O] == layer[:, None]).astype(jnp.float32)
-        sel1 = (slab2[:, O:] == layer[:, None]).astype(jnp.float32)
-        blocked = jnp.sum(sel0[:, :, None] * hit[:, :, 0]
-                          + sel1[:, :, None] * hit[:, :, 1], axis=1)
+        # object edge blocking (straight/left/right slots): precomputed
+        # per-window mask (one bf16 one-hot matmul outside the kernel) —
+        # O-independent, statically indexed after the unroll
+        blocked = blocked_ref[:, h, :]                   # (BB, NN) f32
         w_def = jnp.where(blocked > 0.5, _INF, w_base)
 
         # overtake splits at the obstacle layer
@@ -249,6 +244,16 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         last_nodes = _pad(last_nodes, -1)
     Bp = start_layer.shape[0]
 
+    # fold the per-object slab hit masks into ONE per-window blocked mask
+    # (exact 0/1 contraction over objects on the MXU) so the kernel's
+    # per-step blocking is O-independent and statically indexed
+    win = jnp.mod(start_layer[:, None] + jnp.arange(H)[None, :], L)
+    is0 = (win[:, :, None] == slab_layers[:, None, :, 0]).astype(jnp.float32)
+    is1 = (win[:, :, None] == slab_layers[:, None, :, 1]).astype(jnp.float32)
+    hit_f = hit_slab.reshape(Bp, -1, 2, N * N).astype(jnp.float32)
+    blocked_win = (jnp.einsum('bho,bon->bhn', is0, hit_f[:, :, 0])
+                   + jnp.einsum('bho,bon->bhn', is1, hit_f[:, :, 1]))
+
     kern = functools.partial(_kernel, L=L, N=N, H=H, n_last=n_last,
                              closed=closed)
     grid = (Bp // BLOCK_B,)
@@ -276,9 +281,7 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
             pl.BlockSpec((BLOCK_B, N * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             row(None), row(None),
-            pl.BlockSpec((BLOCK_B, 2 * O), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, O, 2, N * N), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BLOCK_B, H, N * N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             row(None), row(None), row(None),
             pl.BlockSpec((BLOCK_B, n_last), lambda i: (i, 0),
@@ -301,9 +304,7 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
       r_row, r_col, if_n, if_m,
       start_layer[:, None].astype(jnp.int32),
       start_node[:, None].astype(jnp.int32),
-      jnp.concatenate([slab_layers[:, :, 0], slab_layers[:, :, 1]],
-                      axis=1).astype(jnp.int32),
-      hit_slab.reshape(Bp, O, 2, N * N).astype(jnp.float32),
+      blocked_win,
       p_obs[:, None].astype(jnp.int32),
       in_win[:, None].astype(jnp.int32),
       obs_node[:, None].astype(jnp.int32),
