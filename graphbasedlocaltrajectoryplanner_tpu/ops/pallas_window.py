@@ -19,9 +19,14 @@ lane slices with index tracking (ties resolve to the lower n, matching
 ``jnp.argmin``).
 
 Mask semantics are identical to ``plan_window_kernel``'s scan step (zones,
-previous-solution discount, object slab blocking, overtake splits); the
-per-scenario mask inputs come from ``pathgen.window_prelude``.  Numerical
-equivalence is asserted in tests/test_pallas_window.py.
+previous-solution discount, object blocking, overtake splits); the
+per-scenario hit masks come from ``pathgen.window_prelude`` /
+``ops.pallas_collision`` and are folded into one per-window blocked mask
+(exact 0/1 MXU contraction over objects) before the kernel, so per-step
+blocking is O-independent.  The window-step loop is a static python unroll
+(dynamic sublane-indexed stores cost tens of cycles in Mosaic) and all 4
+action slots relax in one stacked (4*BB, NN) tile.  Numerical equivalence
+is asserted in tests/test_pallas_window.py.
 """
 
 from __future__ import annotations

@@ -1,4 +1,11 @@
-"""Devtool (round 3): ablation timings inside the assembly stage.
+"""Devtool (historical, round-3 optimization campaign): ablation timings
+inside the assembly stage.
+
+The probe formulations below are frozen snapshots of the round-3-START
+production code (they drove the packed-gather / Pallas-backtrace /
+barrel-shift redesigns recorded in CLAUDE.md); the production kernels have
+since moved on, so treat the numbers as methodology, not current truth —
+re-measure with parallel/profiling.stage_timings_trace.
 
 Breaks the ``assembly`` stage of parallel/profiling.stage_timings into its
 constituents on the real backend — backtrace, C2 chain fit, resampling,
@@ -74,7 +81,6 @@ def main():
         return jax.vmap(per_scen)(w, s4, h4_)
     t_bt, (nodes_all, cost_all) = _time(jax.jit(backtrace_all), window,
                                         src4, h4, iters=args.iters)
-    print("done @backtrace_ms", flush=True)
     rep["backtrace_ms"] = t_bt * 1e3
 
     # psi_s per scenario-slot (cheap; reuse straight heading for all)
@@ -88,7 +94,6 @@ def main():
             in_axes=(0, 0, 0, None)))(nodes, h, ps, wl)
     t_asm, res_all = _time(jax.jit(asm_full), window["win_layers"],
                            nodes_all, h4, psi_s, iters=args.iters)
-    print("done @assemble_full_ms", flush=True)
     rep["assemble_full_ms"] = t_asm * 1e3
 
     # ---- fit only (gathers + tridiagonal chain fit) ---------------------
@@ -114,7 +119,6 @@ def main():
             nodes, h, ps, wl)
     t_fit, fit_out = _time(jax.jit(fit_only), window["win_layers"],
                            nodes_all, h4, psi_s, iters=args.iters)
-    print("done @fit_only_ms", flush=True)
     rep["fit_only_ms"] = t_fit * 1e3
 
     coeffs_all, npts_all, len_all, seg_el_all = fit_out
@@ -209,7 +213,6 @@ def main():
         return jax.vmap(jax.vmap(one, in_axes=(0, 0, None)))(nodes, h, wl)
     t_g, gout = _time(jax.jit(gathers_only), window["win_layers"],
                       nodes_all, h4, iters=args.iters)
-    print("done @fit_gathers_ms", flush=True)
     rep["fit_gathers_ms"] = t_g * 1e3
 
     def thomas_only(chain_pos, len_e, h, ps, c_last):
@@ -221,7 +224,6 @@ def main():
     t_t, _ = _time(jax.jit(thomas_only), chain_all,
                    jnp.maximum(len_all, 1e-9), h4, psi_s, clast_all,
                    iters=args.iters)
-    print("done @fit_thomas_ms", flush=True)
     rep["fit_thomas_ms"] = t_t * 1e3
 
     # ---- gather variants -------------------------------------------------
@@ -310,18 +312,15 @@ def main():
             w["bp"], w["vg"], w["best"], s4, h4_)
     t_bto, bto = _time(jax.jit(backtrace_onehot), window, src4, h4,
                        iters=args.iters)
-    print("done @backtrace_onehot_ms", flush=True)
     rep["backtrace_onehot_ms"] = t_bto * 1e3
     import numpy as _np
     same = _np.array_equal(_np.asarray(nodes_all), _np.asarray(bto[0]))
-    print("done @backtrace_onehot_match", flush=True)
     rep["backtrace_onehot_match"] = float(same)
 
     # ---- const splice (production path, via until="assembly" delta) -----
     asm_stage = jax.jit(jax.vmap(lambda s, o, w: sc.scenario_tick(
         lat, s, precomputed=dict(obs=o, window=w), until="assembly")))
     t_stage, _ = _time(asm_stage, scen, obs, window, iters=args.iters)
-    print("done @assembly_stage_total_ms", flush=True)
     rep["assembly_stage_total_ms"] = t_stage * 1e3
 
     print(json.dumps({k: round(v, 3) for k, v in rep.items()}, indent=1))

@@ -1,4 +1,9 @@
-"""Devtool (round 3): ablation timings inside the velocity stage.
+"""Devtool (historical, round-3 optimization campaign): ablation timings
+inside the velocity stage.
+
+Frozen snapshot probes (methodology record; the opponent-summary and scan
+formulations measured here were redesigned in response) — re-measure with
+parallel/profiling.stage_timings_trace.
 
 Times the Pallas stacked-scan launches at production shapes in isolation,
 plus the non-scan parts of the stage (opponent summary, path projections,
