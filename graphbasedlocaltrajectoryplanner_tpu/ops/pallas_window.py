@@ -253,11 +253,15 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
     # (exact 0/1 contraction over objects on the MXU) so the kernel's
     # per-step blocking is O-independent and statically indexed
     win = jnp.mod(start_layer[:, None] + jnp.arange(H)[None, :], L)
-    is0 = (win[:, :, None] == slab_layers[:, None, :, 0]).astype(jnp.float32)
-    is1 = (win[:, :, None] == slab_layers[:, None, :, 1]).astype(jnp.float32)
-    hit_f = hit_slab.reshape(Bp, -1, 2, N * N).astype(jnp.float32)
-    blocked_win = (jnp.einsum('bho,bon->bhn', is0, hit_f[:, :, 0])
-                   + jnp.einsum('bho,bon->bhn', is1, hit_f[:, :, 1]))
+    is0 = (win[:, :, None] == slab_layers[:, None, :, 0]).astype(jnp.bfloat16)
+    is1 = (win[:, :, None] == slab_layers[:, None, :, 1]).astype(jnp.bfloat16)
+    hit_f = hit_slab.reshape(Bp, -1, 2, N * N).astype(jnp.bfloat16)
+    # exact: 0/1 operands, integer accumulation <= O in f32
+    blocked_win = (
+        jnp.einsum('bho,bon->bhn', is0, hit_f[:, :, 0],
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum('bho,bon->bhn', is1, hit_f[:, :, 1],
+                     preferred_element_type=jnp.float32))
 
     kern = functools.partial(_kernel, L=L, N=N, H=H, n_last=n_last,
                              closed=closed)
