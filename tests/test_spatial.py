@@ -98,3 +98,35 @@ def test_spatial_zone_blocking(lat, mesh):
     np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_ref))
     # the chain passes through the forced raceline node at the blocked layer
     assert int(np.asarray(n_ref)[3]) == int(lat.rl_idx[lay])
+
+
+def test_spatial_matches_scan_monteblanco(mesh):
+    """Real-track lattice (L=128, H=29 -> uneven 4-step chunks on 8
+    devices) with an opponent: the sharded DP must reproduce the scan
+    kernel's chains through the padded-identity tail steps."""
+    from graphbasedlocaltrajectoryplanner_tpu.models.track import (
+        import_globtraj_csv)
+    import os
+    csv = "/root/reference/inputs/traj_ltpl_cl/traj_ltpl_cl_monteblanco.csv"
+    if not os.path.isfile(csv):
+        pytest.skip("reference track unavailable")
+    lat_mb = build_lattice(import_globtraj_csv(csv), OfflineConfig(),
+                           md5_params="spmb")
+    one, obs, zone_block, wlf = _scen_args(lat_mb, seed=7, n_objects=1)
+    args = (one.start_layer, one.start_node, zone_block,
+            one.obj_pos, one.obj_radius, one.obj_active,
+            obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+            one.last_nodes, wlf)
+    ref = pg.plan_window_kernel(lat_mb, *args, n_last=sc.N_LAST)
+    out = spatial_window_dp(lat_mb, mesh, *args, n_last=sc.N_LAST)
+    h_goal = int(ref["h_goal"])
+    for slot in (0, 1):
+        n_ref, c_ref = pg.backtrace_slot(ref["best"][slot], ref["bp"][slot],
+                                         ref["vg"][slot], jnp.int32(h_goal))
+        n_out, c_out = pg.backtrace_slot(out["best"][slot], out["bp"][slot],
+                                         out["vg"][slot], jnp.int32(h_goal))
+        if float(c_ref) >= float(FEAS_THRESH):
+            assert float(c_out) >= float(FEAS_THRESH)
+            continue
+        np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_ref))
+        np.testing.assert_allclose(float(c_out), float(c_ref), rtol=1e-4)
