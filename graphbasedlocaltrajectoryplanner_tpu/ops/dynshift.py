@@ -23,9 +23,13 @@ import jax.numpy as jnp
 def shift_rows_down(x: jnp.ndarray, shift, bound: int):
     """``out[..., i, :] = x[..., i - shift, :]`` (zeros for i < shift).
 
-    :param x: (..., P, C); ``shift``: traced int scalar in ``[0, bound]``;
+    :param x: (..., P, C); ``shift``: traced int scalar, clamped into
+        ``[0, bound]`` (an out-of-range shift — e.g. a negative splice
+        offset — behaves like the clamped ``dynamic_slice`` it replaces,
+        not like its two's-complement bit pattern);
         ``bound``: static power-of-two-ish bound (inclusive).
     """
+    shift = jnp.clip(shift, 0, bound)
     n_bits = max(1, int(bound).bit_length())
     for k in range(n_bits):
         s = 1 << k
@@ -38,7 +42,9 @@ def shift_rows_down(x: jnp.ndarray, shift, bound: int):
 
 
 def shift_rows_up(x: jnp.ndarray, shift, bound: int):
-    """``out[..., i, :] = x[..., i + shift, :]`` (zeros past the end)."""
+    """``out[..., i, :] = x[..., i + shift, :]`` (zeros past the end).
+    ``shift`` is clamped into ``[0, bound]`` like :func:`shift_rows_down`."""
+    shift = jnp.clip(shift, 0, bound)
     n_bits = max(1, int(bound).bit_length())
     for k in range(n_bits):
         s = 1 << k
@@ -57,9 +63,15 @@ def select_window(table: jnp.ndarray, start, length: int, blk: int = 64):
     exact 0/1 matmul) + fine barrel shift.  Batch over ``start`` with vmap;
     the blocks tensor is loop-invariant and hoisted.
 
-    :param table: (T, C) with ``start + length <= T`` guaranteed by caller.
+    :param table: (T, C) with ``start + length <= T`` guaranteed by caller
+        (violations fail loudly here when ``T < length``; tile the table
+        with enough wrap copies — see velplan.opponent_summary).
     """
     T, C = table.shape
+    if T < length:
+        raise ValueError(
+            f"select_window: table has {T} rows < window length {length}; "
+            "tile more wrap copies at the call site")
     n_blocks = (T - length) // blk + 1
     span = length + blk
     # overlapping blocks: block k covers rows [k*blk, k*blk + span)

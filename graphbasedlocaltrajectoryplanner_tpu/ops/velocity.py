@@ -327,6 +327,10 @@ def stacked_vel_scan_assoc(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init,
     v0 = jnp.asarray(v_init, k1.dtype)
     E0 = v0 * v0                                        # (R,)
     B = jnp.where(jnp.isfinite(v_lim), v_lim * v_lim, jnp.inf)  # (R, T)
+    # the sequential stacked_vel_scan never applies the v_lim cap on
+    # MODE_BRAKE rows — drop it here too so a finite-v_lim brake row stays a
+    # drop-in (advisor r3)
+    B = jnp.where(mode == MODE_BRAKE, jnp.inf, B)
 
     def coeffs(v):
         """Per-step energy increment c_t at lagged from-point velocities v

@@ -281,7 +281,12 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                   w_last_factors: jnp.ndarray = None,
                   incl_emergency: bool = True,
                   precomputed: dict = None,
-                  until: str = None):
+                  until: str = None,
+                  vp_backend: str = "fb",
+                  filt_window: int = 1,
+                  sqp_x0: jnp.ndarray = None,
+                  tire_end_idx: int = 0,
+                  tire_end_mps2: float = 5.0):
     """One full action-set replan for a single scenario (jit/vmap-able).
 
     Implements the reference's complete per-tick semantics in-graph:
@@ -311,6 +316,12 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         (parallel/profiling.py): ``"assembly"`` returns right after the
         const-path splice, skipping velocity + emergency.  None (default)
         runs the full tick.
+    :param vp_backend: velocity-planner backend, "fb" or "sqp" — the
+        reference's ``vp_type`` config seam (OTH:124-156) honored at fleet
+        scale (velplan.velocity_stage_scenario).
+    :param filt_window: odd moving-average window for the fb velocity
+        smoothing (ltpl_config_online.ini SMOOTHING filt_window_width).
+    :param sqp_x0: optional (4, C_PAD + p_max) SQP warm-start profiles.
     """
     if machines is None:
         machines = jnp.array([[0.0, 5.0], [100.0, 5.0]], jnp.float32)
@@ -576,7 +587,13 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             jnp.float32(lat.veh_length),
             jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
             jnp.float32(15.0), dyn_model_exp, drag_coeff, m_veh,
-            follow_slot=pg.SLOT_FOLLOW)
+            follow_slot=pg.SLOT_FOLLOW,
+            filt_window=filt_window,
+            vp_backend=vp_backend,
+            sqp_x0=sqp_x0,
+            veh_turn=jnp.float32(lat.veh_turn),
+            tire_end_idx=tire_end_idx,
+            tire_end_mps2=tire_end_mps2)
         trajs4 = o["trajs"]
         # broken velocity constraints remove overtake actions; follow /
         # straight are always retained (no backup state in the batched
@@ -603,9 +620,15 @@ def scenario_tick(lat: Lattice, scen: Scenario,
     else:
         trajs, valid, cost5, h5, nv5 = (trajs4, valid4, cost_all, h4,
                                         n_valid_full)
-    return dict(trajs=trajs, valid=valid, cost=cost5, h_eff=h5,
-                n_valid=nv5, case_a=case_a, relabel=relabel,
-                em_base=em_base)
+    res = dict(trajs=trajs, valid=valid, cost=cost5, h_eff=h5,
+               n_valid=nv5, case_a=case_a, relabel=relabel,
+               em_base=em_base)
+    if vp_backend == "sqp":
+        # raw per-slot SQP profiles + solver statuses for cross-tick
+        # warm-start stores (the handler's sqp_state; VpSQP.py:244,433-434)
+        res["qp_status"] = o["qp_status"]
+        res["vx_sqp"] = o["vx_sqp"]
+    return res
 
 
 def _batched_window(lat: Lattice, scen: Scenario, samples_t=None,

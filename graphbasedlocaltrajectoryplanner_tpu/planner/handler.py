@@ -630,6 +630,10 @@ class OnlineHandler:
         action_set_path_id = {}
         self.last_path_gg = {} if self.last_path_gg is None else self.last_path_gg
         new_path_gg = {}
+        # SQP inputs actually used this tick, per action — observability for
+        # the engine-equivalence gate (tests/test_engine_equivalence.py)
+        self.sqp_x0_used = {}
+        self.sqp_tire = None
 
         # opponent summary for follow mode (device, once per tick)
         follow_needed = "follow" in self.last_path_param and self.obj_veh
@@ -747,6 +751,8 @@ class OnlineHandler:
                     tire_end_idx = int(np.ceil(cfg.delaycomp * 50 / step))
                     tire_end_mps2 = (3.0 if var_friction
                                      else float(gg_pad[0, 1]))
+                    self.sqp_x0_used[action_id] = np.asarray(x0, np.float32)
+                    self.sqp_tire = (tire_end_idx, tire_end_mps2)
 
                 out = vp.velocity_kernel(
                     jnp.asarray(path_pad), jnp.int32(n_valid),

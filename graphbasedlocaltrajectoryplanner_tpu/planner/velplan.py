@@ -63,9 +63,13 @@ def opponent_summary(glob_rl, glob_el, obj_pos, v_obj,
     # both an (f_cap,)-index row gather and a vmapped dynamic_slice lower
     # to while-loops/gathers on this backend (ops/dynshift.py)
     start = jnp.mod(idx_a, F - 1)
+    # enough wrap copies that start (< F-1) + f_cap rows always exist — a
+    # track shorter than f_cap fine-raceline points wraps multiple times
+    # instead of reading zero padding (advisor r3)
+    n_tiles = 1 + -(-f_cap // (F - 1))
     glob2 = jnp.concatenate(
         [jnp.concatenate([glob_rl[:F - 1, 3:5], glob_el[:F - 1, None]],
-                         axis=1)] * 2, axis=0)          # (2(F-1), 3)
+                         axis=1)] * n_tiles, axis=0)    # (n_tiles(F-1), 3)
     win = dynshift.select_window(glob2, start, f_cap)
     kappa_r = win[:, 0]
     vel_r = win[:, 1]
@@ -375,7 +379,8 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
 
 @partial(jax.jit, static_argnames=("control_type", "follow_slot",
-                                   "dyn_model_exp"))
+                                   "dyn_model_exp", "filt_window",
+                                   "vp_backend"))
 def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             n_valids,     # (4,)
                             gg,           # (P, 2) shared local gg (unscaled)
@@ -391,7 +396,13 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             ctrl_cp, ctrl_kd, ctrl_kp, ctrl_tanw,
                             dyn_model_exp, drag_coeff, m_veh,
                             control_type: str = "PD",
-                            follow_slot: int = 1):
+                            follow_slot: int = 1,
+                            filt_window: int = 1,
+                            vp_backend: str = "fb",
+                            sqp_x0=None,
+                            veh_turn=7.0,
+                            tire_end_idx=0,
+                            tire_end_mps2=5.0):
     """Slot-specialized velocity stage for the batched scenario engine —
     the same math as 4x :func:`velocity_kernel` (with
     ``gg_scale=old_gg_scale=1``) but the follow solver runs ONLY for the
@@ -401,7 +412,19 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     and replanning starts from ``vel_plan`` at row ``c_len`` (OTH delay
     compensation).  Equivalence pinned by tests/test_velplan_fused.py.
 
-    :returns: dict(trajs (4, P, 7), vel_bound (4,), too_close scalar).
+    :param vp_backend: "fb" (stacked forward-backward scans) or "sqp" —
+        the reference's ``vp_type`` seam at fleet scale (VpSQP.py:224-236,
+        OTH:124-156): the 4 normal-branch QPs batch over the slot axis as
+        dense MXU ADMM solves (ops/qp.py) plus one pointwise-vmax follow
+        QP; no brake prefix, no smoothing, too_close never raised, solver-
+        status infeasibility handoff per slot (overtake slots additionally
+        removed on inaccurate solves).  Per-slot equivalence with
+        :func:`velocity_kernel` is pinned in tests/test_velplan_fused.py.
+    :param sqp_x0: optional (4, P) cross-tick warm-start guesses (SQP
+        only); None uses the reference's cold 20 m/s fill (VpSQP:64).
+    :returns: dict(trajs (4, P, 7), vel_bound (4,), too_close scalar; SQP
+        adds vx_sqp (4, P) raw profiles + qp_status (4,) for warm-start
+        stores).
     """
     F = follow_slot
     P = paths.shape[1]
@@ -436,21 +459,28 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                 v_f[-1])
 
     # ---- level 0: brake prefix per slot ------------------------------------
-    prefix_active = vel_plan > (vel_max + 0.1)
-    el_pref = jnp.where(idx[None, :] < c_len, 0.0, el)   # course rows no-op
-    v_decel = _lvl([_brake_row(kabs[s], el_pref[s], vel_plan)
-                    for s in range(4)],
-                   [velops.MODE_BRAKE] * 4)              # (4, P)
-    reach = v_decel <= vel_max
-    first_reach = jnp.argmax(reach, axis=1)
-    got = jnp.take_along_axis(reach, first_reach[:, None], axis=1)[:, 0]
-    first_reach = jnp.where(got, first_reach, P - 1)
-    pref_idx = jnp.where(prefix_active,
-                         jnp.maximum(first_reach, c_len), c_len)  # (4,)
-    vel_start = jnp.where(
-        prefix_active,
-        jnp.take_along_axis(v_decel, pref_idx[:, None], axis=1)[:, 0],
-        vel_plan)
+    if vp_backend == "sqp":
+        # the reference computes no brake prefix for the SQP planner
+        # (OTH:745-760) — profiles start at the delay-compensation index
+        v_decel = jnp.zeros((4, P))
+        pref_idx = jnp.broadcast_to(jnp.asarray(c_len, jnp.int32), (4,))
+        vel_start = jnp.broadcast_to(jnp.asarray(vel_plan), (4,))
+    else:
+        prefix_active = vel_plan > (vel_max + 0.1)
+        el_pref = jnp.where(idx[None, :] < c_len, 0.0, el)  # course rows no-op
+        v_decel = _lvl([_brake_row(kabs[s], el_pref[s], vel_plan)
+                        for s in range(4)],
+                       [velops.MODE_BRAKE] * 4)          # (4, P)
+        reach = v_decel <= vel_max
+        first_reach = jnp.argmax(reach, axis=1)
+        got = jnp.take_along_axis(reach, first_reach[:, None], axis=1)[:, 0]
+        first_reach = jnp.where(got, first_reach, P - 1)
+        pref_idx = jnp.where(prefix_active,
+                             jnp.maximum(first_reach, c_len), c_len)  # (4,)
+        vel_start = jnp.where(
+            prefix_active,
+            jnp.take_along_axis(v_decel, pref_idx[:, None], axis=1)[:, 0],
+            vel_plan)
 
     kappa_m = jnp.where(idx[None, :] < pref_idx[:, None], 0.0, kappa)
     kabs_m = jnp.abs(kappa_m)
@@ -494,56 +524,120 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                      jnp.minimum(v0_n, v_end[:, None]), v0_n)
     v0_u = jnp.minimum(v_lat[F], vel_max)
 
-    # ---- level 1: ego brake (F) + unconstrained fwd (F) + normal fwd x4 ----
-    lvl1 = _lvl([_brake_row(kabs_m[F], el_m[F], vel_start[F]),
-                 _fwd_row(kabs_m[F], el_m[F], v0_u, vel_start[F])]
-                + [_fwd_row(kabs_m[s], el_n[s], v0_n[s], vel_start[s])
-                   for s in range(4)],
-                [velops.MODE_BRAKE, velops.MODE_FWD] + [velops.MODE_FWD] * 4)
-    v_ego_brake = lvl1[0]
-    vf_u = lvl1[1]
-    vf_n = lvl1[2:]                                      # (4, P)
-    ego_stop_d = velops.stop_distance(v_ego_brake, el_m[F])
+    qp_status4 = jnp.zeros((4,), jnp.int32)
+    vx_sqp = jnp.zeros((4, P))
+    if vp_backend == "sqp":
+        # ---- batched dense MXU ADMM solves (VpSQP.py:224-236) -------------
+        from graphbasedlocaltrajectoryplanner_tpu.ops.qp import (
+            qp_vel_profile, qp_solver_status)
+        # conservative tire assumption over the delay-compensation window
+        # at each slot's QP horizon end + conservative terminal velocity
+        # from the vehicle turn radius (VpSQP.py:74-81, 222-224, 361-364)
+        in_tire_n = (idx[None, :] >= v_idx[:, None] - tire_end_idx) \
+            & (idx[None, :] < v_idx[:, None])            # (4, P)
+        gg_sqp_n = jnp.where(in_tire_n[:, :, None], tire_end_mps2,
+                             gg[None, :, :])             # (4, P, 2)
+        v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
+        x0v = sqp_x0 if sqp_x0 is not None else jnp.full((4, P), 20.0)
+        vx_qn, res_n = jax.vmap(
+            lambda k, e, g, vs, vi, pi, x0: qp_vel_profile(
+                k, e, g, machines, vel_max, vs, v_end=v_end_consv,
+                end_idx=vi, drag_coeff=drag_coeff, m_veh=m_veh,
+                pin_idx=pi, x0_v=x0))(
+            kappa_m, el_n, gg_sqp_n, vel_start, v_idx, pref_idx, x0v)
+        st_n = jax.vmap(qp_solver_status)(res_n)         # (4,)
+        # infeasibility / inaccuracy handoff (VpSQP:238-243, 415-430):
+        # all slots zero on infeasible (-3); overtake slots additionally
+        # removed on inaccurate solves (2)
+        is_ot = jnp.arange(4) >= 2
+        zero_n = (st_n == -3) | (is_ot & (st_n == 2))
+        vx_normal = jnp.where(zero_n[:, None], 0.0, vx_qn)
 
-    seg1_active = (vel_start[F] > v_control) & (stop_idx >= 2)
-    idx_c_raw = jnp.argmax(v_ego_brake <= v_control)
-    idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= v_control,
-                          idx_c_raw, stop_idx)
-    idx_c = jnp.where(seg1_active,
-                      jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
-                                            idx_c_raw), stop_idx), 0)
-    vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c],
-                                 vel_start[F])
+        # follow mode via QP (slot F): pointwise opponent vmax — free
+        # running to the safety gap, opponent-braking-assumption curve
+        # beyond, single depleted sample at 2 m/s then v_obj
+        # (VpSQP:146-181 exact fill)
+        d_free = obj_dist - safety_d - veh_length
+        axc = gg[0, 0]
+        rt = v_obj ** 2 - 2.0 * axc * jnp.maximum(s_f - d_free, 0.0)
+        depleted = rt < 0.0
+        first_dep = jnp.argmax(depleted)
+        has_dep = depleted[first_dep]
+        v_opp_cap = jnp.where(depleted & has_dep,
+                              jnp.where(idx == first_dep, 2.0, v_obj),
+                              jnp.sqrt(jnp.maximum(rt, 0.0)))
+        vmax_f = jnp.where(s_f < d_free, vel_max, v_opp_cap)
+        in_tire_f = (idx >= n_valids[F] - tire_end_idx) & (idx < n_valids[F])
+        gg_sqp_f = jnp.where(in_tire_f[:, None], tire_end_mps2, gg)
+        vx_qf, res_f = qp_vel_profile(
+            kappa_m[F], el_m[F], gg_sqp_f, machines, vmax_f, vel_start[F],
+            v_end=v_end_consv, end_idx=n_valids[F], drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=pref_idx[F], x0_v=x0v[F],
+            v_max_scale=vel_max)
+        st_f = qp_solver_status(res_f)
+        vx_follow = jnp.where(st_f == -3, 0.0, vx_qf)
+        follow_bound = jnp.abs(
+            vx_follow[pref_idx[F]] - vel_start[F]) < v_max_offset
+        # SQP follow never raises too_close (VpSQP:246-247)
+        too_close = jnp.asarray(False)
+        is_follow4 = jnp.arange(4) == F
+        qp_status4 = jnp.where(is_follow4, st_f, st_n)
+        vx_sqp = jnp.where(is_follow4[:, None], vx_follow[None, :],
+                           vx_normal)
+    else:
+        # ---- level 1: ego brake (F) + unconstr fwd (F) + normal fwd x4 ----
+        lvl1 = _lvl([_brake_row(kabs_m[F], el_m[F], vel_start[F]),
+                     _fwd_row(kabs_m[F], el_m[F], v0_u, vel_start[F])]
+                    + [_fwd_row(kabs_m[s], el_n[s], v0_n[s], vel_start[s])
+                       for s in range(4)],
+                    [velops.MODE_BRAKE, velops.MODE_FWD]
+                    + [velops.MODE_FWD] * 4)
+        v_ego_brake = lvl1[0]
+        vf_u = lvl1[1]
+        vf_n = lvl1[2:]                                  # (4, P)
+        ego_stop_d = velops.stop_distance(v_ego_brake, el_m[F])
 
-    el_seg2 = jnp.where(idx < stop_idx, el_m[F], 0.0)
-    el_seg2 = jnp.where(idx < idx_c, 0.0, el_seg2)
-    v0_s = jnp.minimum(v_lat[F], v_control)
-    v0_s = jnp.where(idx >= stop_idx, jnp.minimum(v0_s, v_end_f), v0_s)
+        seg1_active = (vel_start[F] > v_control) & (stop_idx >= 2)
+        idx_c_raw = jnp.argmax(v_ego_brake <= v_control)
+        idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= v_control,
+                              idx_c_raw, stop_idx)
+        idx_c = jnp.where(seg1_active,
+                          jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
+                                                idx_c_raw), stop_idx), 0)
+        vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c],
+                                     vel_start[F])
 
-    # ---- level 2: seg2 fwd (F) + unconstrained bwd (F) + normal bwd x4 ----
-    lvl2 = _lvl([_fwd_row(kabs_m[F], el_seg2, v0_s,
-                          jnp.minimum(vx_control_start, v_control)),
-                 _bwd_row(kabs_m[F], el_m[F], vf_u)]
-                + [_bwd_row(kabs_m[s], el_n[s], vf_n[s]) for s in range(4)],
-                [velops.MODE_FWD, velops.MODE_BWD] + [velops.MODE_BWD] * 4)
-    vf_s = lvl2[0]
-    vx_compl = jnp.flip(lvl2[1])
-    vx_normal = jnp.flip(lvl2[2:], axis=1)               # (4, P)
+        el_seg2 = jnp.where(idx < stop_idx, el_m[F], 0.0)
+        el_seg2 = jnp.where(idx < idx_c, 0.0, el_seg2)
+        v0_s = jnp.minimum(v_lat[F], v_control)
+        v0_s = jnp.where(idx >= stop_idx, jnp.minimum(v0_s, v_end_f), v0_s)
 
-    # ---- level 3: seg2 bwd --------------------------------------------------
-    v_seg2 = jnp.flip(_lvl([_bwd_row(kabs_m[F], el_seg2, vf_s)],
-                           [velops.MODE_BWD])[0])
+        # ---- level 2: seg2 fwd (F) + unconstr bwd (F) + normal bwd x4 ----
+        lvl2 = _lvl([_fwd_row(kabs_m[F], el_seg2, v0_s,
+                              jnp.minimum(vx_control_start, v_control)),
+                     _bwd_row(kabs_m[F], el_m[F], vf_u)]
+                    + [_bwd_row(kabs_m[s], el_n[s], vf_n[s])
+                       for s in range(4)],
+                    [velops.MODE_FWD, velops.MODE_BWD]
+                    + [velops.MODE_BWD] * 4)
+        vf_s = lvl2[0]
+        vx_compl = jnp.flip(lvl2[1])
+        vx_normal = jnp.flip(lvl2[2:], axis=1)           # (4, P)
 
-    # ---- follow assembly ----------------------------------------------------
-    follow_bound = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
-    follow_bound &= ~((~seg1_active) & (stop_idx < 2))
-    vx_follow = jnp.where(idx < idx_c, v_ego_brake, v_seg2)
-    vx_follow = jnp.where(idx > stop_idx, 0.0, vx_follow)
-    follow_bound &= jnp.abs(vx_follow[0] - vel_start[F]) <= 1.0
-    cannot_hold = ego_stop_d >= s_stop
-    vx_follow = jnp.where(cannot_hold, v_ego_brake, vx_follow)
-    follow_bound = jnp.where(cannot_hold, True, follow_bound)
-    vx_follow = jnp.minimum(vx_follow, vx_compl)
+        # ---- level 3: seg2 bwd --------------------------------------------
+        v_seg2 = jnp.flip(_lvl([_bwd_row(kabs_m[F], el_seg2, vf_s)],
+                               [velops.MODE_BWD])[0])
+
+        # ---- follow assembly ----------------------------------------------
+        follow_bound = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
+        follow_bound &= ~((~seg1_active) & (stop_idx < 2))
+        vx_follow = jnp.where(idx < idx_c, v_ego_brake, v_seg2)
+        vx_follow = jnp.where(idx > stop_idx, 0.0, vx_follow)
+        follow_bound &= jnp.abs(vx_follow[0] - vel_start[F]) <= 1.0
+        cannot_hold = ego_stop_d >= s_stop
+        vx_follow = jnp.where(cannot_hold, v_ego_brake, vx_follow)
+        follow_bound = jnp.where(cannot_hold, True, follow_bound)
+        vx_follow = jnp.minimum(vx_follow, vx_compl)
 
     # ---- normal assembly per slot ------------------------------------------
     vx_normal = jnp.where(idx[None, :] >= v_idx[:, None], 0.0, vx_normal)
@@ -564,6 +658,14 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     vx_full = jnp.where(idx[None, :] < pref_idx[:, None], v_decel, vx_branch)
     vx_full = jnp.where(idx[None, :] < c_len, vel_course[None, :], vx_full)
 
+    # moving-average smoothing, identical to the handler's fb path
+    # (OTH:925-941 conv_filt; the reference filters only for the fb
+    # planner, OTH:927-933) — previously hard-coded to filt_window=1
+    # semantics, silently diverging from the handler for smoothing configs
+    if filt_window > 1 and vp_backend != "sqp":
+        vx_full = jax.vmap(lambda v: velops.conv_filt(v, filt_window))(
+            vx_full)
+
     ax = (vx_full[:, 1:] ** 2 - vx_full[:, :-1] ** 2) \
         / jnp.maximum(2.0 * el[:, :-1], 1e-9)
     ax = jnp.where(el[:, :-1] > 1e-9, ax, 0.0)
@@ -574,7 +676,8 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
 
     trajs = jnp.stack([s4, paths[:, :, 0], paths[:, :, 1], paths[:, :, 2],
                        paths[:, :, 3], vx_full, ax_f], axis=2)
-    return dict(trajs=trajs, vel_bound=vel_bound, too_close=too_close)
+    return dict(trajs=trajs, vel_bound=vel_bound, too_close=too_close,
+                vx_sqp=vx_sqp, qp_status=qp_status4)
 
 
 @jax.jit

@@ -1,6 +1,8 @@
 """Layer-sharded (mp-axis) window DP vs the single-device scan kernel on
 the virtual 8-device CPU mesh."""
 
+from dataclasses import replace as dataclasses_replace
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -98,6 +100,55 @@ def test_spatial_zone_blocking(lat, mesh):
     np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_ref))
     # the chain passes through the forced raceline node at the blocked layer
     assert int(np.asarray(n_ref)[3]) == int(lat.rl_idx[lay])
+
+
+def test_spatial_unclosed_track_end(mesh):
+    """Open-track lattice with the window crossing the track end: the
+    spatial DP's off-end INF masking (_local_masked_slabs open branch) and
+    its interaction with the padded-identity tail steps must reproduce the
+    scan kernel, including the all-INF frontier beyond the last layer."""
+    from tests.test_unclosed_track import make_strip_track
+    lat_o = build_lattice(make_strip_track(), OfflineConfig(),
+                          md5_params="sp-open")
+    assert not lat_o.closed
+    # start close enough to the end that start_layer + H overruns L - 1
+    scen = sc.random_scenarios(lat_o, 1, seed=11, n_objects=0,
+                               steady_state=False)
+    one = jax.tree_util.tree_map(lambda x: x[0], scen)
+    start_layer = jnp.int32(lat_o.L - max(4, lat_o.H_max // 3))
+    one = jax.tree_util.tree_map(lambda x: x, one)
+    one = dataclasses_replace(one, start_layer=start_layer,
+                              start_node=lat_o.rl_idx[start_layer])
+    obs = sc._select_obstacle(lat_o, one)
+    zone_block = jnp.zeros((lat_o.L, lat_o.N), bool)
+    wlf = jnp.array([0.0, 0.5, 0.8], jnp.float32)
+    args = (one.start_layer, one.start_node, zone_block,
+            one.obj_pos, one.obj_radius, one.obj_active,
+            obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+            one.last_nodes, wlf)
+    ref = pg.plan_window_kernel(lat_o, *args, n_last=sc.N_LAST)
+    out = spatial_window_dp(lat_o, mesh, *args, n_last=sc.N_LAST)
+
+    ref_best = np.asarray(ref["best"])
+    out_best = np.asarray(out["best"])
+    feas = ref_best < float(FEAS_THRESH)
+    # beyond the track end every frontier entry must be infeasible in BOTH
+    assert np.array_equal(feas, out_best < float(FEAS_THRESH))
+    assert feas.any() and not feas.all()      # the end really truncates
+    np.testing.assert_allclose(out_best[feas], ref_best[feas],
+                               rtol=1e-4, atol=1e-3)
+    h_goal = int(ref["h_goal"])
+    assert h_goal < lat_o.H_max               # clamped by the open end
+    for slot in (0, 1):
+        n_ref, c_ref = pg.backtrace_slot(ref["best"][slot], ref["bp"][slot],
+                                         ref["vg"][slot], jnp.int32(h_goal))
+        n_out, c_out = pg.backtrace_slot(out["best"][slot], out["bp"][slot],
+                                         out["vg"][slot], jnp.int32(h_goal))
+        if float(c_ref) >= float(FEAS_THRESH):
+            assert float(c_out) >= float(FEAS_THRESH)
+            continue
+        np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_ref))
+        np.testing.assert_allclose(float(c_out), float(c_ref), rtol=1e-4)
 
 
 def test_spatial_matches_scan_monteblanco(mesh):

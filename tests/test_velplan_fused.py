@@ -146,6 +146,130 @@ def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist,
             assert bool(out["too_close"]) == bool(ref["too_close"])
 
 
+@pytest.mark.parametrize("red,c_len,obj_dist",
+                         [(False, 0, 90.0),    # plain
+                          (False, 6, 40.0),    # vel-course prefix + close
+                          (True, 0, 90.0)])    # reduced horizon (merge)
+def test_scenario_stage_sqp_matches_kernel(red, c_len, obj_dist):
+    """Fleet-scale SQP (VERDICT r3 item 2): velocity_stage_scenario with
+    vp_backend='sqp' == 4x velocity_kernel SQP (batched dense ADMM over the
+    slot axis must be bit-equal per-slot math)."""
+    P = 160
+    paths = np.stack([_path(P=P, seed=s, n_valid=110 + 5 * s)
+                      for s in range(4)])
+    n_valids = np.array([110, 115, 120, 125], np.int32)
+    gg = np.full((P, 2), 8.0, np.float32)
+    roll_vel = np.full((128,), 15.0, np.float32)
+    roll_cum = np.cumsum(np.full((128,), 3.0)).astype(np.float32)
+    v_end_rl = np.array([28.0, 25.0, 27.0, 26.0], np.float32)
+    red_len = np.full((4,), red)
+    vel_course = np.zeros((P,), np.float32)
+    vel_course[:c_len] = 20.0
+    tire = dict(veh_turn=jnp.float32(7.0), tire_end_idx=jnp.int32(4),
+                tire_end_mps2=jnp.float32(5.5))
+
+    out = vp.velocity_stage_scenario(
+        jnp.asarray(paths), jnp.asarray(n_valids), jnp.asarray(gg),
+        jnp.asarray(vel_course), jnp.int32(c_len),
+        jnp.float32(20.0), jnp.float32(20.0), jnp.float32(70.0),
+        jnp.asarray(MACHINES), jnp.float32(0.1), jnp.asarray(v_end_rl),
+        jnp.asarray(red_len),
+        jnp.float32(obj_dist), jnp.float32(12.0), jnp.float32(30.0),
+        jnp.float32(25.0), jnp.asarray(roll_vel), jnp.asarray(roll_cum),
+        jnp.float32(4.7), jnp.float32(1.25), jnp.float32(0.025),
+        jnp.float32(0.2), jnp.float32(15.0), 1.0, 0.85, 1000.0,
+        follow_slot=1, vp_backend="sqp", **tire)
+
+    for s in range(4):
+        ref = vp.velocity_kernel(
+            jnp.asarray(paths[s]), jnp.int32(int(n_valids[s])),
+            jnp.asarray(gg), jnp.asarray(vel_course), jnp.int32(c_len),
+            jnp.float32(20.0), jnp.float32(20.0),
+            jnp.float32(70.0), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, bool(red),
+            jnp.float32(v_end_rl[s]), jnp.float32(obj_dist),
+            jnp.float32(12.0), jnp.float32(30.0), jnp.float32(25.0),
+            jnp.asarray(roll_vel), jnp.asarray(roll_cum), jnp.float32(4.7),
+            jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
+            jnp.float32(15.0), 1.0, 0.85, 1000.0,
+            vp_backend="sqp", is_overtake=(s >= 2), **tire)
+        got, want = np.asarray(out["trajs"][s]), np.asarray(ref["traj"])
+        np.testing.assert_allclose(got[:, :6], want[:, :6],
+                                   rtol=1e-5, atol=1e-4,
+                                   err_msg=f"slot {s}")
+        np.testing.assert_allclose(got[:, 6], want[:, 6],
+                                   rtol=1e-4, atol=2e-3,
+                                   err_msg=f"slot {s} ax")
+        assert bool(out["vel_bound"][s]) == bool(ref["vel_bound"]), s
+        assert int(out["qp_status"][s]) == int(ref["qp_status"]), s
+        np.testing.assert_allclose(np.asarray(out["vx_sqp"][s]),
+                                   np.asarray(ref["vx_sqp"]),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"slot {s}")
+    # SQP never raises too_close (VpSQP:246-247)
+    assert not bool(out["too_close"])
+
+
+def test_scenario_stage_filt_window_matches_kernel():
+    """filt_window > 1 (VERDICT r3 item 6): the batched engine must smooth
+    exactly like the handler kernel instead of silently diverging."""
+    P = 160
+    paths = np.stack([_path(P=P, seed=s, n_valid=110 + 5 * s)
+                      for s in range(4)])
+    n_valids = np.array([110, 115, 120, 125], np.int32)
+    gg = np.full((P, 2), 8.0, np.float32)
+    roll_vel = np.full((128,), 15.0, np.float32)
+    roll_cum = np.cumsum(np.full((128,), 3.0)).astype(np.float32)
+    v_end_rl = np.array([28.0, 25.0, 27.0, 26.0], np.float32)
+
+    out = vp.velocity_stage_scenario(
+        jnp.asarray(paths), jnp.asarray(n_valids), jnp.asarray(gg),
+        jnp.zeros((P,), jnp.float32), jnp.int32(0),
+        jnp.float32(20.0), jnp.float32(20.0), jnp.float32(70.0),
+        jnp.asarray(MACHINES), jnp.float32(0.1), jnp.asarray(v_end_rl),
+        jnp.zeros((4,), bool),
+        jnp.float32(90.0), jnp.float32(12.0), jnp.float32(30.0),
+        jnp.float32(25.0), jnp.asarray(roll_vel), jnp.asarray(roll_cum),
+        jnp.float32(4.7), jnp.float32(1.25), jnp.float32(0.025),
+        jnp.float32(0.2), jnp.float32(15.0), 1.0, 0.85, 1000.0,
+        follow_slot=1, filt_window=5)
+
+    smoothed_any = False
+    for s in range(4):
+        ref = vp.velocity_kernel(
+            jnp.asarray(paths[s]), jnp.int32(int(n_valids[s])),
+            jnp.asarray(gg), jnp.zeros((P,), jnp.float32), jnp.int32(0),
+            jnp.float32(20.0), jnp.float32(20.0),
+            jnp.float32(70.0), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, False,
+            jnp.float32(v_end_rl[s]), jnp.float32(90.0),
+            jnp.float32(12.0), jnp.float32(30.0), jnp.float32(25.0),
+            jnp.asarray(roll_vel), jnp.asarray(roll_cum), jnp.float32(4.7),
+            jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
+            jnp.float32(15.0), 1.0, 0.85, 1000.0, filt_window=5)
+        raw = vp.velocity_kernel(
+            jnp.asarray(paths[s]), jnp.int32(int(n_valids[s])),
+            jnp.asarray(gg), jnp.zeros((P,), jnp.float32), jnp.int32(0),
+            jnp.float32(20.0), jnp.float32(20.0),
+            jnp.float32(70.0), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.asarray(MACHINES), jnp.float32(0.1), s == 1, False,
+            jnp.float32(v_end_rl[s]), jnp.float32(90.0),
+            jnp.float32(12.0), jnp.float32(30.0), jnp.float32(25.0),
+            jnp.asarray(roll_vel), jnp.asarray(roll_cum), jnp.float32(4.7),
+            jnp.float32(1.25), jnp.float32(0.025), jnp.float32(0.2),
+            jnp.float32(15.0), 1.0, 0.85, 1000.0, filt_window=1)
+        got, want = np.asarray(out["trajs"][s]), np.asarray(ref["traj"])
+        np.testing.assert_allclose(got[:, 5], want[:, 5],
+                                   rtol=1e-5, atol=1e-4,
+                                   err_msg=f"slot {s}")
+        np.testing.assert_allclose(got[:, 6], want[:, 6],
+                                   rtol=1e-4, atol=2e-3,
+                                   err_msg=f"slot {s} ax")
+        if not np.allclose(want[:, 5], np.asarray(raw["traj"][:, 5]),
+                           atol=1e-6):
+            smoothed_any = True
+    assert smoothed_any     # window 5 really changed at least one profile
+
+
 def test_fused_brake_prefix_matches(seed=2):
     """vel_plan above vel_max triggers the decel prefix; the assembled
     profile must start on the brake curve and hand off at vel_max.  Near-
