@@ -4,29 +4,51 @@
 ``lax.scan`` over window steps; under ``vmap`` every step gathers each
 scenario's (N, N) cost slab out of the global ``(L, N, N)`` tensor from HBM
 — the dominant cost of the search stage at large batch.  This kernel keeps
-the ENTIRE track cost tensor (L x N^2 f32, ~0.5 MB) plus the zone table
-VMEM-resident and selects each scenario's layer slab with a one-hot matmul
-on the MXU, so the H-step DP for a block of scenarios runs without touching
-HBM (outputs stream once at the end).
+the track cost tensor (L x N^2 f32, ~0.5 MB) VMEM-resident and selects each
+scenario's layer slab with a one-hot matmul on the MXU.
+
+Round-4 layout (r3 ran H statically unrolled inside one grid step at
+BLOCK_B=8; profiling showed the per-op issue overhead of 8-row tiles and
+the in-kernel zone one-hot selects over the full (BB, L, N) zone tensor
+dominating):
+
+  * The window-step axis becomes the minor GRID dimension with the DP
+    frontier carried in persistent VMEM scratch (grid iterations execute
+    sequentially on a TPU core), so per-step inputs are STREAMED one step
+    at a time and BLOCK_B rises 8 -> 128: every elementwise op runs on
+    128/512-row tiles and the MXU dots use full 128-row tiles.
+  * Mask inputs arrive FACTORED, built by three XLA einsums (step-major,
+    nothing transposed): per-step zone row/col vectors (H, B, N) selected
+    over the layer axis (k = L, efficient MXU), and the per-step object
+    block counts (H, B, N*N) bf16 from ONE exact 0/1 contraction over the
+    2*O slab slots.  The kernel expands zones with one tiny 0/1 dot + a
+    lane tile, and rebuilds the overtake split masks from scalars — the
+    r3 path materialized a priority-packed (B, H, N*N) mask through an
+    unfused 8-stage elementwise chain instead.
+  * The w_last discount lookup collapses to one flat-edge-id compare
+    against a precomputed (H, B) edge-id table (factor 1.0 where inactive
+    — exact, as ``w * 1.0 == w`` in f32).
+  * Both cost dots run at ``Precision.HIGHEST``: the Mosaic MXU computes
+    f32 dots in bf16 by default, which rounds the selected costs (~2
+    decimal digits) and flips DP argmins — caught on hardware by
+    tools/pallas_parity.py (the recurring artifact gate).
 
 Mosaic layout strategy: everything stays in the **flat edge layout**
 ``(BLOCK_B, N*N)`` with flat index ``n * N + m`` (lane-splitting reshapes
-like (B, N^2) -> (B, N, N) are unsupported).  Row/column broadcasts become
-matmuls with constant 0/1 matrices (``R_row[n, n*N+m] = 1``,
-``R_col[m, n*N+m] = 1``) or flat-iota comparisons, and the min-plus
-reduction over the source node ``n`` is a log2(N) halving tree of static
-lane slices with index tracking (ties resolve to the lower n, matching
-``jnp.argmin``).
+like (B, N^2) -> (B, N, N) are unsupported).  The frontier row-broadcast is
+a matmul with the constant 0/1 matrix ``R_row[n, n*N+m] = 1`` and the
+min-plus reduction over the source node ``n`` is a log2(N) halving tree of
+static lane slices with index tracking (ties resolve to the lower n,
+matching ``jnp.argmin``).  All 4 action slots relax in one stacked
+(4*BLOCK_B, NN) tile.
 
 Mask semantics are identical to ``plan_window_kernel``'s scan step (zones,
-previous-solution discount, object blocking, overtake splits); the
-per-scenario hit masks come from ``pathgen.window_prelude`` /
-``ops.pallas_collision`` and are folded into one per-window blocked mask
-(exact 0/1 MXU contraction over objects) before the kernel, so per-step
-blocking is O-independent.  The window-step loop is a static python unroll
-(dynamic sublane-indexed stores cost tens of cycles in Mosaic) and all 4
-action slots relax in one stacked (4*BB, NN) tile.  Numerical equivalence
-is asserted in tests/test_pallas_window.py.
+previous-solution discount, object blocking, overtake splits,
+gen_local_node_template.py:43-162); the per-scenario hit masks come from
+``pathgen.window_prelude`` / ``ops.pallas_collision``.  Numerical
+equivalence is asserted in tests/test_pallas_window.py and re-checked on
+hardware every bench run (tools/pallas_parity.py ->
+artifacts/PALLAS_PARITY.json).
 """
 
 from __future__ import annotations
@@ -41,7 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e30          # python literals — kernels cannot capture jnp values
 _FEAS = 1e29
-BLOCK_B = 8
+BLOCK_B = 128
 N_SLOTS = 4
 
 
@@ -64,126 +86,143 @@ def _min_argmin_over_n(x, N, if_n=None):
     return x, idx
 
 
-def _kernel(w_ref, zone_ref, fac_ref, rrow_ref, rcol_ref, ifn_ref, ifm_ref,
-            start_l_ref, start_n_ref, blocked_ref,
-            p_obs_ref, in_win_ref, obs_node_ref, last_ref,
-            best_ref, bp_ref, *, L, N, H, n_last, closed):
+def _kernel(w_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
+            p_obs_ref, in_win_ref, obs_node_ref,
+            zrow_ref, zcol_ref, obj_ref, ab_ref, fac_ref,
+            best_ref, bp_ref, best_c,
+            *, L, N, H):
+    """One (batch-block, window-step) grid cell: select the step's cost
+    slab, apply zones/discount/objects/overtake-splits, relax all 4 slots
+    in one stacked tile, write the step's frontier + backpointers.
+    ``best_c`` is the persistent VMEM carry of the 4-slot frontier.
+
+    Streamed blocks are laid out step-major — zone vectors (H, Bp, N),
+    object counts (H, Bp, NN) bf16, discount tables (H, Bp, 1), outputs
+    (H, Bp, 4N) — so every block's trailing two dims satisfy the Mosaic
+    (8, 128)-divisibility rule."""
     BB = start_l_ref.shape[0]
     NN = N * N
+    h = pl.program_id(1)
     iota_L = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
     iota_N = jax.lax.broadcasted_iota(jnp.int32, (BB, N), 1)
+    if_n = ifn_ref[:]                                    # (4BB, NN) row ids
+    if_flat = jax.lax.broadcasted_iota(jnp.int32, (BB, NN), 1)
+    if_nb = if_n[:BB]
+    if_m = if_flat - if_nb * N
 
     start_l = start_l_ref[:, 0]                          # (BB,)
     start_n = start_n_ref[:, 0]
-    w_flat = w_ref[:]                                    # (L, N*N)
-    zone = zone_ref[:]                                   # (BB, L, N) f32 1=blocked
-    r_row = rrow_ref[:]                                  # (N, N*N) R_row
-    r_col = rcol_ref[:]                                  # (N, N*N) R_col
-    if_n = ifn_ref[:]                                    # (BB, NN) flat n ids
-    if_m = ifm_ref[:]                                    # (BB, NN) flat m ids
-    last = last_ref[:]                                   # (BB, n_last) i32
-    facs = fac_ref[:]                                    # (BB, n_last-1) f32
-    in_win = in_win_ref[:, 0] != 0
-    p_obs = p_obs_ref[:, 0]
+
+    # (re)initialize the frontier carry at the first window step of every
+    # batch block (the scratch persists across the whole grid)
+    @pl.when(h == 0)
+    def _init():
+        b0 = jnp.where(iota_N == start_n[:, None], 0.0, _INF)
+        best_c[:] = jnp.concatenate([b0] * N_SLOTS, axis=0)
+
+    # one-hot layer select of the step's cost slab (exact: 0/1 f32 matmul
+    # at HIGHEST precision — see module docstring)
+    raw = start_l + h
+    layer = jnp.where(raw >= L, raw - L, raw)            # conditional mod
+    oh_l = (iota_L == layer[:, None]).astype(jnp.float32)
+    w_l = jnp.dot(oh_l, w_ref[:],
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # (BB, NN)
+
+    # previous-solution discount: one flat-edge-id compare (fac == 1.0
+    # where inactive — w * 1.0 == w exactly)
+    ab = ab_ref[0, :, 0]                                 # (BB,)
+    fac = fac_ref[0, :, 0]
+    at_ab = if_flat == ab[:, None]
+    w_disc = jnp.where(at_ab & (w_l < _FEAS), w_l * fac[:, None], w_l)
+
+    # zone blocking: expand the step's (BB, N) zone vectors to edge space
+    # — rows via a tiny 0/1 dot (exact in the default bf16 path), cols via
+    # a lane tile
+    zb_rows = jnp.dot(zrow_ref[0], rrow_ref[:],
+                      preferred_element_type=jnp.float32)    # (BB, NN)
+    zcol = zcol_ref[0]                                       # (BB, N)
+    zb_cols = jnp.concatenate([zcol] * N, axis=1)
+    w_fol = jnp.where((zb_rows > 0.5) | (zb_cols > 0.5), _INF, w_disc)
+
+    # object blocking (straight/left/right slots)
+    w_def = jnp.where(obj_ref[0].astype(jnp.float32) > 0.5, _INF, w_fol)
+
+    # overtake splits at the obstacle layer
     obs_node = obs_node_ref[:, 0]
+    p_obs = p_obs_ref[:, 0]
+    in_win = in_win_ref[:, 0] != 0
+    left_cols = if_m >= obs_node[:, None]                    # (BB, NN)
+    left_rows = if_nb >= obs_node[:, None]
+    into = (in_win & (h == p_obs - 1))[:, None]
+    outof = (in_win & (h == p_obs))[:, None]
+    w_left = jnp.where((into & left_cols) | (outof & left_rows),
+                       _INF, w_def)
+    w_right = jnp.where((into & ~left_cols) | (outof & ~left_rows),
+                        _INF, w_def)
 
-    best0 = jnp.where(iota_N == start_n[:, None], 0.0, _INF)    # (BB, N)
-    for s in range(N_SLOTS):
-        best_ref[:, s * (H + 1), :] = best0
-        bp_ref[:, s * (H + 1), :] = jnp.full((BB, N), -1, jnp.int32)
-
-    # overtake split masks in flat space (elementwise, no broadcast matmuls)
-    left_cols = if_m >= obs_node[:, None]                # (BB, NN)
-    left_rows = if_n >= obs_node[:, None]
-    right_cols = jnp.logical_not(left_cols)
-    right_rows = jnp.logical_not(left_rows)
-
-    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (BB, n_last), 1)
-
-    def step(h, best):
-        # best: tuple of 4 (BB, N) slot frontiers
-        # start_l < L and h < H <= L so a conditional subtract replaces the
-        # mod (integer rem is not lowerable here)
-        raw = start_l + h
-        layer = jnp.where(raw >= L, raw - L, raw)
-        nxt0 = layer + 1
-        nxt = jnp.where(nxt0 >= L, nxt0 - L, nxt0)
-        oh_l = (iota_L == layer[:, None]).astype(jnp.float32)
-        oh_n = (iota_L == nxt[:, None]).astype(jnp.float32)
-        w_l = jnp.dot(oh_l, w_flat,
-                      preferred_element_type=jnp.float32)   # (BB, NN)
-        if not closed:
-            off_end = (start_l + h >= L - 1).astype(jnp.float32)
-            w_l = jnp.where(off_end[:, None] > 0.5, _INF, w_l)
-        # per-scenario zone tables: one-hot layer select (elementwise —
-        # each scenario owns its own (L, N) zone mask)
-        zb_l = jnp.sum(oh_l[:, :, None] * zone, axis=1)
-        zb_n = jnp.sum(oh_n[:, :, None] * zone, axis=1)
-        zb_rows = jnp.dot(zb_l, r_row,
-                          preferred_element_type=jnp.float32)   # (BB, NN)
-        zb_cols = jnp.dot(zb_n, r_col,
-                          preferred_element_type=jnp.float32)
-        w_base = jnp.where((zb_rows > 0.5) | (zb_cols > 0.5), _INF, w_l)
-
-        # previous-solution discount (comparison-sum lookups into the tiny
-        # per-scenario chain; dynamic ref indexing is avoided)
-        ia = jnp.minimum(h, n_last - 1)
-        ib = jnp.minimum(h + 1, n_last - 1)
-        a = jnp.sum(jnp.where(iota_nl == ia, last, 0), axis=1)     # (BB,)
-        b = jnp.sum(jnp.where(iota_nl == ib, last, 0), axis=1)
-        ifc = jnp.minimum(h, n_last - 2)
-        fac = jnp.sum(jnp.where(iota_nl[:, :n_last - 1] == ifc, facs, 0.0),
-                      axis=1)                                      # (BB,)
-        apply = ((h < n_last - 1) & (a >= 0) & (b >= 0)) \
-            .astype(jnp.float32)                                   # (BB,)
-        at_ab = (if_n == a[:, None]) & (if_m == b[:, None])
-        w_base = jnp.where(at_ab & (apply[:, None] > 0.5)
-                           & (w_base < _FEAS),
-                           w_base * fac[:, None], w_base)
-
-        # object edge blocking (straight/left/right slots): precomputed
-        # per-window mask (one bf16 one-hot matmul outside the kernel) —
-        # O-independent, statically indexed after the unroll
-        blocked = blocked_ref[:, h, :]                   # (BB, NN) f32
-        w_def = jnp.where(blocked > 0.5, _INF, w_base)
-
-        # overtake splits at the obstacle layer
-        into = (in_win & (h == p_obs - 1)).astype(jnp.float32)[:, None]
-        outof = (in_win & (h == p_obs)).astype(jnp.float32)[:, None]
-        w_left = jnp.where(((into > 0.5) & left_cols)
-                           | ((outof > 0.5) & left_rows), _INF, w_def)
-        w_right = jnp.where(((into > 0.5) & right_cols)
-                            | ((outof > 0.5) & right_rows), _INF, w_def)
-
-        # all 4 slots relax in ONE stacked (4*BB, NN) tile: one MXU dot and
-        # one min/argmin halving tree instead of four — the tree's per-op
-        # issue overhead amortizes over 4x-taller tiles
-        w_stack = jnp.concatenate([w_def, w_base, w_left, w_right], axis=0)
-        rep = jnp.dot(best, r_row,
-                      preferred_element_type=jnp.float32)      # (4BB, NN)
-        bn, bi = _min_argmin_over_n(rep + w_stack, N, if_n4)
-        bn = jnp.minimum(bn, _INF)
-        for s in range(N_SLOTS):
-            best_ref[:, s * (H + 1) + h + 1, :] = bn[s * BB:(s + 1) * BB]
-            bp_ref[:, s * (H + 1) + h + 1, :] = bi[s * BB:(s + 1) * BB]
-        return bn
-
-    if_n4 = jnp.concatenate([if_n] * N_SLOTS, axis=0)
-    # static python unroll over the window steps: H is small and static,
-    # and dynamic sublane-indexed stores cost tens of cycles each in
-    # Mosaic (8 stores/step — the same pattern that made the v1 velocity
-    # kernel slower than the XLA scan)
-    best = jnp.concatenate([best0] * N_SLOTS, axis=0)
-    for h in range(H):
-        best = step(h, best)
+    # all 4 slots relax in ONE stacked (4BB, NN) tile: one MXU dot and one
+    # min/argmin halving tree
+    w_stack = jnp.concatenate([w_def, w_fol, w_left, w_right], axis=0)
+    rep = jnp.dot(best_c[:], rrow_ref[:],
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # (4BB, NN)
+    bn, bi = _min_argmin_over_n(rep + w_stack, N, if_n)
+    bn = jnp.minimum(bn, _INF)
+    best_c[:] = bn
+    # slot-major lane concat: out row b carries [slot0 | slot1 | ...]
+    best_ref[0] = jnp.concatenate(
+        [bn[s * BB:(s + 1) * BB] for s in range(N_SLOTS)], axis=1)
+    bp_ref[0] = jnp.concatenate(
+        [bi[s * BB:(s + 1) * BB] for s in range(N_SLOTS)], axis=1)
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def window_step_tables(zone_block, start_layer, slab_layers, hit_slab,
+                       closed: bool, H: int, L: int, N: int):
+    """Factored per-step mask tables, step-major (XLA prep for the kernel):
+
+      zone_row (H, B, N) f32 — step's from-layer zone vector (off-end
+          truncation of open tracks folded in, main_offline_callback:91-100)
+      zone_col (H, B, N) f32 — step's to-layer zone vector
+      obj      (H, B, N*N) bf16 — object block counts from ONE exact 0/1
+          contraction over the 2*O slab slots (integer counts <= 2*O are
+          exact in bf16)
+    """
+    B = start_layer.shape[0]
+    hs = jnp.arange(H)
+    win = jnp.mod(start_layer[None, :] + hs[:, None], L)     # (H, B)
+    nxt = jnp.mod(win + 1, L)
+
+    # bf16 operands on TPU (exact for 0/1 values and integer counts
+    # <= 2*O); the CPU test backend cannot execute bf16 dots — use f32
+    dt = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    zf = zone_block.astype(dt)                               # (B, L, N)
+    oh_win = (win[:, :, None] == jnp.arange(L)[None, None, :]).astype(dt)
+    oh_nxt = (nxt[:, :, None] == jnp.arange(L)[None, None, :]).astype(dt)
+    zone_row = jnp.einsum('hbl,bln->hbn', oh_win, zf,
+                          preferred_element_type=jnp.float32)
+    zone_col = jnp.einsum('hbl,bln->hbn', oh_nxt, zf,
+                          preferred_element_type=jnp.float32)
+    if not closed:
+        off_end = (start_layer[None, :] + hs[:, None]) >= (L - 1)
+        zone_row = jnp.where(off_end[:, :, None], 1.0, zone_row)
+
+    # merged slab-slot axis k = 2*O: one contraction instead of two
+    sl2 = slab_layers.reshape(B, -1)                         # (B, 2O)
+    isk = (win[:, :, None] == sl2[None, :, :]).astype(dt)
+    hit2 = hit_slab.reshape(B, -1, N * N).astype(dt)
+    obj = jnp.einsum('hbk,bkn->hbn', isk, hit2,
+                     preferred_element_type=dt)
+    return zone_row, zone_col, obj
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("closed", "h_max", "interpret"))
+                   static_argnames=("closed", "h_max", "interpret",
+                                    "block_b"))
 def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
                     zone_block,    # (L, N) bool shared or (B, L, N) per-scenario
                     start_layer,   # (B,) i32
@@ -197,17 +236,19 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
                     w_last_factors,  # (n_last - 1,) f32
                     closed: bool,
                     h_max: int,
-                    interpret: bool = None):
+                    interpret: bool = None,
+                    block_b: int = None):
     """Batched fused window DP.  Returns (best (B, 4, H+1, N),
     bp (B, 4, H+1, N) i32) — identical to stacking
     ``plan_window_kernel(...)['best'/'bp']`` over the batch."""
     if interpret is None:
         interpret = not _on_tpu()
+    if block_b is None:
+        block_b = BLOCK_B
     L, N_in, _ = w.shape
     B = start_layer.shape[0]
     H = h_max
     n_last = last_nodes.shape[1]
-    O = hit_slab.shape[1]
 
     # per-scenario zone masks (VERDICT r2 item 6): a shared (L, N) mask is
     # broadcast; a (B, L, N) batch gives every fleet member its own zones
@@ -226,14 +267,8 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         hit_slab = jnp.pad(hit_slab,
                            ((0, 0), (0, 0), (0, 0), (0, pn), (0, pn)))
 
-    # constant broadcast matrices: R_row[n, n*N+m] = 1, R_col[m, n*N+m] = 1
-    r_row = jnp.asarray(np.kron(np.eye(N), np.ones((1, N))), jnp.float32)
-    r_col = jnp.asarray(np.tile(np.eye(N), (1, N)), jnp.float32)
-    flat = np.arange(N * N)
-    if_n = jnp.asarray(np.tile(flat // N, (BLOCK_B, 1)), jnp.int32)
-    if_m = jnp.asarray(np.tile(flat % N, (BLOCK_B, 1)), jnp.int32)
-
-    pad = (-B) % BLOCK_B
+    BB = min(block_b, max(8, 1 << (B - 1).bit_length()))
+    pad = (-B) % BB
     if pad:
         def _pad(x, val=0):
             return jnp.concatenate(
@@ -249,75 +284,83 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         last_nodes = _pad(last_nodes, -1)
     Bp = start_layer.shape[0]
 
-    # fold the per-object slab hit masks into ONE per-window blocked mask
-    # (exact 0/1 contraction over objects on the MXU) so the kernel's
-    # per-step blocking is O-independent and statically indexed
-    win = jnp.mod(start_layer[:, None] + jnp.arange(H)[None, :], L)
-    is0 = (win[:, :, None] == slab_layers[:, None, :, 0]).astype(jnp.bfloat16)
-    is1 = (win[:, :, None] == slab_layers[:, None, :, 1]).astype(jnp.bfloat16)
-    hit_f = hit_slab.reshape(Bp, -1, 2, N * N).astype(jnp.bfloat16)
-    # exact: 0/1 operands, integer accumulation <= O in f32
-    blocked_win = (
-        jnp.einsum('bho,bon->bhn', is0, hit_f[:, :, 0],
-                   preferred_element_type=jnp.float32)
-        + jnp.einsum('bho,bon->bhn', is1, hit_f[:, :, 1],
-                     preferred_element_type=jnp.float32))
+    # factored per-step tables + discount tables (XLA; the kernel streams
+    # them one window step at a time, step-major for Mosaic block rules)
+    zone_row, zone_col, obj = window_step_tables(
+        zone_block, start_layer, slab_layers, hit_slab, closed, H, L, N)
+    hs = jnp.arange(H)
+    ia = jnp.clip(hs, 0, n_last - 1)
+    ib = jnp.clip(hs + 1, 0, n_last - 1)
+    a = last_nodes[:, ia]                                    # (Bp, H)
+    b = last_nodes[:, ib]
+    fac = w_last_factors[jnp.clip(hs, 0, n_last - 2)][None, :]
+    apply = (hs[None, :] < n_last - 1) & (a >= 0) & (b >= 0)
+    ab_tab = jnp.where(apply, a * N + b, -1).astype(jnp.int32).T[:, :, None]
+    fac_tab = jnp.where(apply, fac, 1.0).astype(jnp.float32).T[:, :, None]
 
-    kern = functools.partial(_kernel, L=L, N=N, H=H, n_last=n_last,
-                             closed=closed)
-    grid = (Bp // BLOCK_B,)
+    # constant broadcast matrix R_row[n, n*N+m] = 1 and flat row ids
+    r_row = jnp.asarray(np.kron(np.eye(N), np.ones((1, N))), jnp.float32)
+    if_n = jnp.asarray(
+        np.tile(np.arange(N * N) // N, (N_SLOTS * BB, 1)), jnp.int32)
 
-    def row(_):          # per-scenario scalar -> (B, 1) VMEM block
-        return pl.BlockSpec((BLOCK_B, 1), lambda i: (i, 0),
+    kern = functools.partial(_kernel, L=L, N=N, H=H)
+    grid = (Bp // BB, H)
+
+    def row(_):          # per-scenario scalar -> (BB, 1) VMEM block
+        return pl.BlockSpec((BB, 1), lambda i, h: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    best, bp = pl.pallas_call(
+    def row_h(_):        # per-(step, scenario) scalar -> (1, BB, 1) block
+        return pl.BlockSpec((1, BB, 1), lambda i, h: (h, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def step_tab(width):  # per-(step, scenario) vector -> (1, BB, width)
+        return pl.BlockSpec((1, BB, width), lambda i, h: (h, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    best_s, bp_s = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, N * N), lambda i: (0, 0),
+            pl.BlockSpec((L, N * N), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, L, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((N, N * N), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, n_last - 1), lambda i: (0, 0),
+            pl.BlockSpec((N_SLOTS * BB, N * N), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N * N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N * N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, N * N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, N * N), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            row(None), row(None),
-            pl.BlockSpec((BLOCK_B, H, N * N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            row(None), row(None), row(None),
-            pl.BlockSpec((BLOCK_B, n_last), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            row(None), row(None), row(None), row(None), row(None),
+            step_tab(N), step_tab(N), step_tab(N * N),
+            row_h(None), row_h(None),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK_B, N_SLOTS * (H + 1), N),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, N_SLOTS * (H + 1), N),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, N_SLOTS * N), lambda i, h: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, N_SLOTS * N), lambda i, h: (h, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, N_SLOTS * (H + 1), N), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, N_SLOTS * (H + 1), N), jnp.int32),
+            jax.ShapeDtypeStruct((H, Bp, N_SLOTS * N), jnp.float32),
+            jax.ShapeDtypeStruct((H, Bp, N_SLOTS * N), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((N_SLOTS * BB, N), jnp.float32)],
         interpret=interpret,
-    )(w.reshape(L, N * N),
-      zone_block.astype(jnp.float32),
-      jnp.tile(w_last_factors.astype(jnp.float32)[None, :], (BLOCK_B, 1)),
-      r_row, r_col, if_n, if_m,
+    )(w.reshape(L, N * N), r_row, if_n,
       start_layer[:, None].astype(jnp.int32),
       start_node[:, None].astype(jnp.int32),
-      blocked_win,
       p_obs[:, None].astype(jnp.int32),
       in_win[:, None].astype(jnp.int32),
       obs_node[:, None].astype(jnp.int32),
-      last_nodes.astype(jnp.int32))
-    best = best.reshape(Bp, N_SLOTS, H + 1, N)
-    bp = bp.reshape(Bp, N_SLOTS, H + 1, N)
+      zone_row, zone_col, obj, ab_tab, fac_tab)
+
+    # (H, Bp, 4N) step-major lane-concat layout -> (Bp, 4, H, N)
+    best_s = jnp.moveaxis(best_s.reshape(H, Bp, N_SLOTS, N), (1, 2), (0, 1))
+    bp_s = jnp.moveaxis(bp_s.reshape(H, Bp, N_SLOTS, N), (1, 2), (0, 1))
+
+    # h = 0 frontier (trivial one-hot) + the kernel's H step frontiers
+    iN = jnp.arange(N)
+    best0 = jnp.where(iN[None, :] == start_node[:, None], 0.0, _INF)
+    best0 = jnp.broadcast_to(best0[:, None, None, :], (Bp, N_SLOTS, 1, N))
+    bp0 = jnp.full((Bp, N_SLOTS, 1, N), -1, jnp.int32)
+    best = jnp.concatenate([best0, best_s], axis=2)
+    bp = jnp.concatenate([bp0, bp_s], axis=2)
     return best[:B, :, :, :N_in], bp[:B, :, :, :N_in]

@@ -1,0 +1,195 @@
+"""On-hardware Pallas <-> XLA parity gate (VERDICT r3 item 5).
+
+CI runs every Pallas kernel in interpret mode on the forced-CPU test
+backend (tests/test_pallas_*.py); a Mosaic LOWERING regression on real TPU
+would ship silently — the bench would still print a (wrong) number.  This
+script runs the four production kernels COMPILED on the current backend
+against their XLA formulations and writes a recurring artifact,
+``artifacts/PALLAS_PARITY.json``.  ``bench.py`` invokes it every run.
+
+Checks (production entry points, not re-implementations):
+  * fused_window_dp (ops/pallas_window.py)  vs  pathgen.plan_window_kernel
+  * hit_slab_pallas (ops/pallas_collision)  vs  pathgen.window_prelude
+  * fused velocity scan (ops/pallas_velocity) vs velocity.stacked_vel_scan
+  * backtrace kernel (ops/pallas_backtrace) vs search.backtrace walk
+
+Exit code 0 iff every gate holds.  Run standalone:
+    python tools/pallas_parity.py [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+TOP = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, TOP)
+OUT = os.path.join(TOP, "artifacts", "PALLAS_PARITY.json")
+
+
+def check_window_collision(lat, batch):
+    """Window DP + collision slab kernels on a random scenario batch."""
+    import jax
+    import jax.numpy as jnp
+    from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+    from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
+        fused_window_dp)
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision import (
+        build_samples_t, hit_slab_pallas)
+
+    scen = sc.random_scenarios(lat, batch=batch, seed=11, n_objects=2)
+    obs = jax.jit(jax.vmap(lambda s: sc._select_obstacle(lat, s)))(scen)
+    pre = jax.jit(jax.vmap(
+        lambda s, o: pg.window_prelude(
+            lat, s.start_layer, s.obj_pos, s.obj_radius, s.obj_active,
+            o["obs_layer"], o["obs_node"], o["obs_found"])))(scen, obs)
+
+    # collision: streaming Pallas slab kernel vs the XLA gather masks
+    samples_t = build_samples_t(lat.samples_xy)
+    hit_p = jax.jit(hit_slab_pallas)(
+        samples_t, pre["slab_layers"], scen.obj_pos, pre["ref2"],
+        pre["obj_app"])
+    hit_mismatch = int(np.sum(np.asarray(hit_p) != np.asarray(
+        pre["hit_slab"])))
+
+    # window DP: fused Mosaic kernel vs the vmapped XLA scan kernel
+    zone = jnp.zeros((lat.L, lat.N), bool)
+    wlf = jnp.array([0.0, 0.5, 0.8], jnp.float32)
+    best_p, bp_p = jax.jit(lambda: fused_window_dp(
+        lat.w, zone, scen.start_layer, scen.start_node,
+        pre["slab_layers"], pre["hit_slab"], pre["p_obs"], pre["in_win"],
+        obs["obs_node"], scen.last_nodes, wlf,
+        closed=bool(lat.closed), h_max=int(lat.H_max),
+        interpret=False))()
+    ref = jax.jit(jax.vmap(lambda s, o: pg.plan_window_kernel(
+        lat, s.start_layer, s.start_node, zone, s.obj_pos, s.obj_radius,
+        s.obj_active, o["obs_layer"], o["obs_node"], o["obs_found"],
+        s.last_nodes, wlf, n_last=sc.N_LAST)))(scen, obs)
+    best_r = np.asarray(ref["best"])
+    bp_r = np.asarray(ref["bp"])
+    d_best = np.abs(np.asarray(best_p) - best_r)
+    rel = d_best / np.maximum(np.abs(best_r), 1.0)
+    finite = best_r < 1e29
+    max_d_best = float(d_best[finite].max()) if finite.any() else 0.0
+    # frontier values may differ by a few f32 ulp: the Mosaic MXU computes
+    # f32 dots as multi-pass bf16 products whose partial-sum rounding
+    # differs from XLA's fused path; backpointers/argmins must still agree
+    # exactly (a tie flip would show up as bp_mismatches)
+    max_rel = float(rel[finite].max()) if finite.any() else 0.0
+    inf_agree = bool(np.array_equal(finite, np.asarray(best_p) < 1e29))
+    bp_mismatch = int(np.sum(np.asarray(bp_p) != bp_r))
+    return dict(
+        window=dict(max_abs_diff_best=max_d_best,
+                    max_rel_diff_best=max_rel,
+                    infeasible_sets_equal=inf_agree,
+                    bp_mismatches=bp_mismatch,
+                    n=int(best_r.size),
+                    ok=bool(max_rel <= 1e-6 and inf_agree
+                            and bp_mismatch == 0)),
+        collision=dict(mismatches=hit_mismatch,
+                       n=int(np.asarray(hit_p).size),
+                       ok=bool(hit_mismatch == 0)),
+    )
+
+
+def check_velocity():
+    import jax.numpy as jnp
+    from graphbasedlocaltrajectoryplanner_tpu.ops import velocity as velops
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity import (
+        make_fused_vel_scan)
+    rng = np.random.default_rng(5)
+    R, T = 16, 447
+    machines = jnp.asarray([[0.0, 5.0], [30.0, 4.0], [70.0, 2.0]],
+                           jnp.float32)
+    modes = np.resize([0, 1, 2], R)
+    kappa = jnp.asarray(np.abs(rng.normal(0, 0.02, (R, T))), jnp.float32)
+    gg = jnp.asarray(np.full((R, T), 10.0), jnp.float32)
+    ds = jnp.asarray(np.where(rng.random((R, T)) < 0.9, 2.5, 0.0),
+                     jnp.float32)
+    vlim = jnp.asarray(np.clip(rng.normal(40, 15, (R, T)), 3, 70),
+                       jnp.float32)
+    vlim = jnp.where(jnp.asarray(modes)[:, None] == velops.MODE_BRAKE,
+                     jnp.inf, vlim)
+    vinit = jnp.asarray(np.clip(rng.normal(30, 10, R), 1, 60), jnp.float32)
+    modes = jnp.asarray(modes, jnp.int32)
+    ref = velops.stacked_vel_scan(kappa, gg, gg, kappa, gg, gg, ds, vlim,
+                                  vinit, modes, machines, 1.0, 0.85, 1000.0)
+    out = make_fused_vel_scan(interpret=False)(
+        kappa, gg, gg, kappa, gg, gg, ds, vlim, vinit, modes,
+        machines, 1.0, 0.85, 1000.0)
+    d = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
+    return dict(max_abs_diff=d, n=int(np.asarray(ref).size),
+                ok=bool(d <= 2e-3))
+
+
+def check_backtrace():
+    import jax.numpy as jnp
+    from graphbasedlocaltrajectoryplanner_tpu.ops import search as srch
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_backtrace import (
+        make_backtrace_goal)
+    rng = np.random.default_rng(7)
+    R, Hp1, N = 16, 30, 32
+    best = jnp.asarray(rng.uniform(0, 100, (R, Hp1, N)), jnp.float32)
+    bp = jnp.asarray(rng.integers(0, N, (R, Hp1, N)), jnp.int32)
+    bp = bp.at[:, 0, :].set(-1)
+    vg = jnp.asarray(rng.uniform(0, 10, (R, Hp1, N)), jnp.float32)
+    h_eff = jnp.asarray(rng.integers(1, Hp1, (R,)), jnp.int32)
+    nodes, cost = make_backtrace_goal(interpret=False)(best, bp, vg, h_eff)
+    mism = 0
+    for r in range(R):
+        goal_tot = np.asarray(best[r, int(h_eff[r])] + vg[r, int(h_eff[r])])
+        goal = int(np.argmin(goal_tot))
+        n_ref = np.asarray(srch.backtrace(bp[r], h_eff[r], jnp.int32(goal)))
+        mism += int(np.sum(np.asarray(nodes[r]) != n_ref))
+        mism += int(float(cost[r]) != goal_tot[goal])
+    return dict(mismatches=mism, n=int(R * Hp1), ok=bool(mism == 0))
+
+
+def run(batch: int = 128, lat=None):
+    """Run all gates; returns the report dict (also written to OUT)."""
+    import jax
+    if lat is None:
+        from graphbasedlocaltrajectoryplanner_tpu.models.track import (
+            import_globtraj_csv, make_oval_track)
+        from graphbasedlocaltrajectoryplanner_tpu.models.lattice import (
+            load_lattice, build_lattice, save_lattice)
+        from graphbasedlocaltrajectoryplanner_tpu.utils.config import (
+            OfflineConfig)
+        cache = os.path.join(TOP, "artifacts", "monteblanco_lattice.npz")
+        lat = load_lattice(cache)
+        if lat is None:
+            csv = ("/root/reference/inputs/traj_ltpl_cl/"
+                   "traj_ltpl_cl_monteblanco.csv")
+            gt = (import_globtraj_csv(csv) if os.path.isfile(csv)
+                  else make_oval_track())
+            lat = build_lattice(gt, OfflineConfig(), md5_params="bench")
+            save_lattice(lat, cache)
+
+    report = dict(backend=jax.default_backend(), batch=batch)
+    report.update(check_window_collision(lat, batch))
+    report["velocity"] = check_velocity()
+    report["backtrace"] = check_backtrace()
+    report["ok"] = all(report[k]["ok"] for k in
+                       ("window", "collision", "velocity", "backtrace"))
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+    report = run(batch=args.batch)
+    print(json.dumps(report, indent=1))
+    sys.exit(0 if report["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
