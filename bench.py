@@ -130,14 +130,34 @@ def main():
         details["multi_opponent_error"] = str(e)
 
     # per-stage breakdown (profiler-trace scope attribution; falls back to
-    # the cumulative-prefix timing where no trace can be captured)
+    # the cumulative-prefix timing where no trace can be captured) + the
+    # roofline-style account (VERDICT r3 item 1: both views are published —
+    # trace ms for attribution, roofline for distance-from-hardware-bound)
     try:
         from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling import (
             stage_timings, stage_timings_trace)
+        cum = stage_timings(lat, scen, iters=10)
         details["stages"] = (stage_timings_trace(lat, scen, iters=3)
-                             or stage_timings(lat, scen, iters=10))
+                             or cum)
+        details["stages"]["roofline"] = cum.get("roofline")
     except Exception as e:            # pragma: no cover
         details["stages_error"] = str(e)
+
+    # recurring on-hardware Pallas/XLA + cross-backend parity gate
+    # (VERDICT r3 item 5): every kernel compiled on this backend vs its XLA
+    # formulation, plus the full tick vs a forced-CPU oracle subprocess;
+    # full report in artifacts/PALLAS_PARITY.json
+    try:
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.pallas_parity import run as parity_run
+        prep = parity_run(batch=128, lat=lat)
+        details["pallas_parity_ok"] = bool(prep["ok"])
+        if "end_to_end" in prep:
+            details["cross_backend_max_dxy_m"] = \
+                prep["end_to_end"].get("max_dxy_m")
+    except Exception as e:            # pragma: no cover
+        details["pallas_parity_error"] = str(e)
 
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)
     with open(os.path.join(os.path.dirname(CACHE), "BENCH_DETAILS.json"),

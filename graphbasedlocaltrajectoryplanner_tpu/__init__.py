@@ -24,6 +24,17 @@ calc_vel_profile() / log() / visual()``.
 
 __version__ = "0.1.0"
 
+# XLA:TPU computes f32 dots in bf16 by DEFAULT, which silently corrupts the
+# geometric selection matmuls (one-hot coefficient/position selects in path
+# assembly) by up to meters — measured 1.5 m / 7 m/s end-to-end deviation vs
+# the CPU oracle before this was pinned (tools/pallas_parity.py gates it).
+# A planner whose behavioral budget is 2 cm must default to exact f32; the
+# hot kernels opt back into speed EXPLICITLY via exact bf16x3-split one-hot
+# selections (ops/pallas_window.split3_bf16) or bf16 0/1 contractions.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def __getattr__(name):
     # lazy to keep `import ...ops.splines` cheap and cycle-free

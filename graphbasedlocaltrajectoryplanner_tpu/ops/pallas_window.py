@@ -67,6 +67,39 @@ BLOCK_B = 128
 N_SLOTS = 4
 
 
+def split3_bf16(x):
+    """Exact bf16x3 split of an f32 tensor: hi + mid + lo == x (24 mantissa
+    bits covered by three 8-bit bf16 parts).  A one-hot selection matmul
+    against the three parts at DEFAULT precision reconstructs the f32
+    values exactly in 3 MXU passes — half of Precision.HIGHEST's 6 (the
+    one-hot operand is itself exact in bf16).
+
+    The optimization barriers are load-bearing: this backend compiles with
+    ``--xla_allow_excess_precision=true``, which lets XLA elide the bf16
+    round-trips (hi "=" x, residuals 0) and collapse the split back into a
+    single rounding bf16 dot — measured 1.5 m of path corruption before
+    the barriers pinned each part."""
+    ob = jax.lax.optimization_barrier
+    hi = ob(x.astype(jnp.bfloat16))
+    r1 = x - hi.astype(jnp.float32)
+    mid = ob(r1.astype(jnp.bfloat16))
+    lo = ob((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
+    return hi, mid, lo
+
+
+def _sel3(oh_bf16, parts):
+    """One-hot selection against a bf16x3-split table: exact f32 result.
+    Precision is pinned to DEFAULT — the package-wide
+    ``jax_default_matmul_precision=highest`` would otherwise attach an
+    fp32 contract precision that Mosaic rejects on bf16 operands (and the
+    bf16 single-pass product is already exact here)."""
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jnp.dot(oh_bf16, parts[0], **kw)
+            + jnp.dot(oh_bf16, parts[1], **kw)
+            + jnp.dot(oh_bf16, parts[2], **kw))
+
+
 def _min_argmin_over_n(x, N, if_n=None):
     """(BB, N*N) flat n-major -> (min over n (BB, N), argmin over n (BB, N))
     via a halving tree of static lane slices (no reshapes).  Ties pick the
@@ -86,11 +119,11 @@ def _min_argmin_over_n(x, N, if_n=None):
     return x, idx
 
 
-def _kernel(w_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
+def _kernel(w_ref, w3_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
             p_obs_ref, in_win_ref, obs_node_ref,
             zrow_ref, zcol_ref, obj_ref, ab_ref, fac_ref,
             best_ref, bp_ref, best_c,
-            *, L, N, H):
+            *, L, N, H, use_bf16x3):
     """One (batch-block, window-step) grid cell: select the step's cost
     slab, apply zones/discount/objects/overtake-splits, relax all 4 slots
     in one stacked tile, write the step's frontier + backpointers.
@@ -120,14 +153,21 @@ def _kernel(w_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
         b0 = jnp.where(iota_N == start_n[:, None], 0.0, _INF)
         best_c[:] = jnp.concatenate([b0] * N_SLOTS, axis=0)
 
-    # one-hot layer select of the step's cost slab (exact: 0/1 f32 matmul
-    # at HIGHEST precision — see module docstring)
+    # one-hot layer select of the step's cost slab — exact either via a
+    # bf16x3-split table at DEFAULT precision (3 MXU passes, Mosaic) or an
+    # f32 dot at HIGHEST (interpret mode: the CPU backend cannot execute
+    # bf16 dots); see module docstring
     raw = start_l + h
     layer = jnp.where(raw >= L, raw - L, raw)            # conditional mod
-    oh_l = (iota_L == layer[:, None]).astype(jnp.float32)
-    w_l = jnp.dot(oh_l, w_ref[:],
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)   # (BB, NN)
+    if use_bf16x3:
+        oh_l = (iota_L == layer[:, None]).astype(jnp.bfloat16)
+        w3 = w3_ref[:]
+        w_l = _sel3(oh_l, (w3[0:L], w3[L:2 * L], w3[2 * L:3 * L]))
+    else:
+        oh_l = (iota_L == layer[:, None]).astype(jnp.float32)
+        w_l = jnp.dot(oh_l, w_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (BB, NN)
 
     # previous-solution discount: one flat-edge-id compare (fac == 1.0
     # where inactive — w * 1.0 == w exactly)
@@ -140,7 +180,8 @@ def _kernel(w_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
     # — rows via a tiny 0/1 dot (exact in the default bf16 path), cols via
     # a lane tile
     zb_rows = jnp.dot(zrow_ref[0], rrow_ref[:],
-                      preferred_element_type=jnp.float32)    # (BB, NN)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)   # (BB, NN)
     zcol = zcol_ref[0]                                       # (BB, N)
     zb_cols = jnp.concatenate([zcol] * N, axis=1)
     w_fol = jnp.where((zb_rows > 0.5) | (zb_cols > 0.5), _INF, w_disc)
@@ -164,9 +205,23 @@ def _kernel(w_ref, rrow_ref, ifn_ref, start_l_ref, start_n_ref,
     # all 4 slots relax in ONE stacked (4BB, NN) tile: one MXU dot and one
     # min/argmin halving tree
     w_stack = jnp.concatenate([w_def, w_fol, w_left, w_right], axis=0)
-    rep = jnp.dot(best_c[:], rrow_ref[:],
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)   # (4BB, NN)
+    if use_bf16x3:
+        # frontier replicate: split the carry bf16x3 and run 3 DEFAULT
+        # dots against the exact 0/1 bf16 R_row (reconstruction exact)
+        bc = best_c[:]
+        hi = bc.astype(jnp.bfloat16)
+        r1 = bc - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        rr = rrow_ref[:].astype(jnp.bfloat16)
+        kwd = dict(preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+        rep = (jnp.dot(hi, rr, **kwd) + jnp.dot(mid, rr, **kwd)
+               + jnp.dot(lo, rr, **kwd))
+    else:
+        rep = jnp.dot(best_c[:], rrow_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)   # (4BB, NN)
     bn, bi = _min_argmin_over_n(rep + w_stack, N, if_n)
     bn = jnp.minimum(bn, _INF)
     best_c[:] = bn
@@ -303,8 +358,11 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
     if_n = jnp.asarray(
         np.tile(np.arange(N * N) // N, (N_SLOTS * BB, 1)), jnp.int32)
 
-    kern = functools.partial(_kernel, L=L, N=N, H=H)
+    kern = functools.partial(_kernel, L=L, N=N, H=H,
+                             use_bf16x3=not interpret)
     grid = (Bp // BB, H)
+    w_flat = w.reshape(L, N * N)
+    w3 = jnp.concatenate(split3_bf16(w_flat), axis=0)     # (3L, NN) bf16
 
     def row(_):          # per-scenario scalar -> (BB, 1) VMEM block
         return pl.BlockSpec((BB, 1), lambda i, h: (i, 0),
@@ -323,6 +381,8 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, N * N), lambda i, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * L, N * N), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N * N), lambda i, h: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -344,7 +404,7 @@ def fused_window_dp(w,             # (L, N, N) f32 offline costs (INF absent)
         ],
         scratch_shapes=[pltpu.VMEM((N_SLOTS * BB, N), jnp.float32)],
         interpret=interpret,
-    )(w.reshape(L, N * N), r_row, if_n,
+    )(w_flat, w3, r_row, if_n,
       start_layer[:, None].astype(jnp.int32),
       start_node[:, None].astype(jnp.int32),
       p_obs[:, None].astype(jnp.int32),

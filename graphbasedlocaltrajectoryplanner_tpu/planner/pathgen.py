@@ -439,16 +439,35 @@ def assemble_action_kernel(lat: Lattice,
     seg_id = jnp.sum((node_idx[1:][None, :] <= idxp[:, None])
                      .astype(jnp.int32), axis=1)
     seg_id = jnp.clip(seg_id, 0, H - 1)
-    oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(coeffs.dtype)
-    # float tables through the MXU at full precision (bf16 passes would
-    # corrupt coefficients beyond the 2 cm parity budget); the int columns
-    # (node_idx < p_max, npts <= S) are exact in f32
+    # float tables through the MXU exactly: the coefficients must not round
+    # (bf16 passes would corrupt them beyond the 2 cm parity budget); the
+    # int columns (node_idx < p_max, npts <= S) are exact in f32
     table = jnp.concatenate(
         [coeffs.reshape(H, 8),
          node_idx[:H, None].astype(coeffs.dtype),
          npts_e[:, None].astype(coeffs.dtype),
          ecoeffs[:H]], axis=1)                          # (H, 8+2+8)
-    rows = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    if jax.default_backend() == "cpu":
+        oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(coeffs.dtype)
+        rows = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    else:
+        # exact one-hot selection in 3 DEFAULT MXU passes via a bf16x3
+        # table split — half of Precision.HIGHEST's 6 (ops/pallas_window.
+        # split3_bf16; reconstruction is exact, gated on hardware by
+        # tools/pallas_parity.py via the end-to-end replans)
+        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
+            split3_bf16)
+        oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(jnp.bfloat16)
+        hi, mid, lo = split3_bf16(table)
+        kw = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+        # optimization barriers: XLA's algebraic simplifier would refold
+        # dot(oh,hi)+dot(oh,mid)+dot(oh,lo) into dot(oh, hi+mid+lo) whose
+        # bf16 add destroys the split (measured 1.5 m path corruption)
+        ob = jax.lax.optimization_barrier
+        rows = (ob(jnp.matmul(oh, hi, **kw))
+                + ob(jnp.matmul(oh, mid, **kw))
+                + ob(jnp.matmul(oh, lo, **kw)))
     c_p = rows[:, :8].reshape(p_max, 4, 2)              # per-point coeffs
     start_p = rows[:, 8].astype(jnp.int32)
     npts_p = rows[:, 9].astype(jnp.int32)

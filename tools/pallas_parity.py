@@ -150,9 +150,79 @@ def check_backtrace():
     return dict(mismatches=mism, n=int(R * Hp1), ok=bool(mism == 0))
 
 
+_E2E_ORACLE = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from graphbasedlocaltrajectoryplanner_tpu.models.lattice import load_lattice
+from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+lat = load_lattice({lat_path!r})
+scen = sc.random_scenarios(lat, batch={batch}, seed=42, n_objects=1)
+tick = sc.make_batched_tick(lat, use_pallas=False)
+out = tick(scen)
+np.savez({out_path!r}, trajs=np.asarray(out["trajs"]),
+         valid=np.asarray(out["valid"]), nv=np.asarray(out["n_valid"]))
+"""
+
+
+def check_end_to_end(lat_path: str, batch: int = 8):
+    """Full-tick cross-backend gate: the compiled tick on THIS backend vs a
+    forced-CPU oracle subprocess, compared on every valid trajectory.
+
+    This is what caught the 1.5 m / 7 m/s hardware-only corruption of r4:
+    XLA:TPU's default bf16 matmul precision rounded the assembly's one-hot
+    coefficient selections — invisible to the CPU-forced test suite and to
+    the per-kernel gates above (the XLA reference ran on the same rounded
+    backend).  Gate: 2 mm / 0.02 m/s, two orders inside the 2 cm / 0.1 m/s
+    behavioral-parity budget."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    import jax
+    from graphbasedlocaltrajectoryplanner_tpu.models.lattice import (
+        load_lattice)
+    from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "oracle.npz")
+        code = _E2E_ORACLE.format(lat_path=lat_path, batch=batch,
+                                  out_path=out_path)
+        r = subprocess.run([_sys.executable, "-c", code], cwd=TOP,
+                           capture_output=True, text=True, timeout=900,
+                           env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        if r.returncode != 0:
+            return dict(ok=False, error="oracle subprocess failed",
+                        stderr=r.stderr[-500:])
+        ref = np.load(out_path)
+
+    lat = load_lattice(lat_path)
+    scen = sc.random_scenarios(lat, batch=batch, seed=42, n_objects=1)
+    out = jax.jit(sc.make_batched_tick(lat))(scen)
+    t = np.asarray(out["trajs"])
+    valid_equal = bool(np.array_equal(np.asarray(out["valid"]),
+                                      ref["valid"]))
+    nv_equal = bool(np.array_equal(np.asarray(out["n_valid"]), ref["nv"]))
+    dxy = dv = 0.0
+    for b in range(batch):
+        for s in range(ref["valid"].shape[1]):
+            if not ref["valid"][b, s]:
+                continue
+            n = int(ref["nv"][b, s])
+            dxy = max(dxy, float(np.abs(
+                t[b, s, :n, 1:3] - ref["trajs"][b, s, :n, 1:3]).max()))
+            dv = max(dv, float(np.abs(
+                t[b, s, :n, 5] - ref["trajs"][b, s, :n, 5]).max()))
+    return dict(max_dxy_m=dxy, max_dv_mps=dv, valid_sets_equal=valid_equal,
+                n_valid_equal=nv_equal,
+                ok=bool(valid_equal and nv_equal
+                        and dxy <= 2e-3 and dv <= 2e-2))
+
+
 def run(batch: int = 128, lat=None):
     """Run all gates; returns the report dict (also written to OUT)."""
     import jax
+    cache = os.path.join(TOP, "artifacts", "monteblanco_lattice.npz")
     if lat is None:
         from graphbasedlocaltrajectoryplanner_tpu.models.track import (
             import_globtraj_csv, make_oval_track)
@@ -160,7 +230,6 @@ def run(batch: int = 128, lat=None):
             load_lattice, build_lattice, save_lattice)
         from graphbasedlocaltrajectoryplanner_tpu.utils.config import (
             OfflineConfig)
-        cache = os.path.join(TOP, "artifacts", "monteblanco_lattice.npz")
         lat = load_lattice(cache)
         if lat is None:
             csv = ("/root/reference/inputs/traj_ltpl_cl/"
@@ -174,8 +243,11 @@ def run(batch: int = 128, lat=None):
     report.update(check_window_collision(lat, batch))
     report["velocity"] = check_velocity()
     report["backtrace"] = check_backtrace()
+    if os.path.isfile(cache):
+        report["end_to_end"] = check_end_to_end(cache)
     report["ok"] = all(report[k]["ok"] for k in
-                       ("window", "collision", "velocity", "backtrace"))
+                       ("window", "collision", "velocity", "backtrace",
+                        "end_to_end") if k in report)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=1)
