@@ -727,8 +727,9 @@ def make_batched_tick(lat: Lattice, use_pallas: bool = None,
 
 
 def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
-                      use_pallas: bool = None, zone_block=None, **kw):
-    """Mesh-sharded tick: scenarios data-parallel over every mesh axis with
+                      use_pallas: bool = None, zone_block=None,
+                      spatial_axis: str = None, **kw):
+    """Mesh-sharded tick: scenarios data-parallel over the mesh axes with
     fleet statistics reduced over XLA collectives (``pmin``/``psum``) —
     replacing what would be NCCL allreduce elsewhere (SURVEY.md section 5,
     "Distributed communication backend").
@@ -738,24 +739,58 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
     add an outer ``dcn`` axis (one row per process); the batch shards over
     ``(dcn, dp)`` and the fleet reductions cross hosts over DCN.
 
-    :returns: jitted fn scen(batch sharded over the mesh axes) ->
-        (results with batch axis, stats dict of fleet reductions)
+    :param spatial_axis: name of a mesh axis to run the window DP
+        layer-sharded over (``parallel.spatial.spatial_dp_shard``) — the
+        composed 2-D ``(dp, mp)`` decomposition (VERDICT r3 item 4):
+        scenarios shard over the remaining axes, each scenario's window
+        steps split over ``spatial_axis`` with the frontier all_gather on
+        ICI, and the rest of the tick runs mp-replicated.  None (default)
+        keeps every axis scenario-data-parallel.
+    :returns: jitted fn scen(batch sharded over the non-spatial mesh axes)
+        -> (results with batch axis, stats dict of fleet reductions)
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     samples_t = None
-    if use_pallas:
+    if use_pallas and spatial_axis is None:
         from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_collision \
             import build_samples_t
         samples_t = build_samples_t(lat.samples_xy)
 
     axes = tuple(mesh.axis_names)
+    data_axes = tuple(a for a in axes if a != spatial_axis)
+    if spatial_axis is not None and spatial_axis not in axes:
+        raise ValueError(f"mesh has no axis {spatial_axis!r}")
     per_scen_zones = zone_block is not None and zone_block.ndim == 3
 
     def shard_body(scen, zb):
         # runs per mesh shard; scen leaves (and per-scenario zones when
         # given) carry the local batch slice
-        if use_pallas:
+        if spatial_axis is not None:
+            from graphbasedlocaltrajectoryplanner_tpu.parallel.spatial \
+                import spatial_dp_shard
+            D = mesh.shape[spatial_axis]
+
+            def one(s, z):
+                if z is None:
+                    z = jnp.zeros((lat.L, lat.N), bool)
+                obs = _select_obstacle(lat, s)
+                window = spatial_dp_shard(
+                    lat, s.start_layer, s.start_node, z,
+                    s.obj_pos, s.obj_radius, s.obj_active,
+                    obs["obs_layer"], obs["obs_node"], obs["obs_found"],
+                    s.last_nodes,
+                    kw.get("w_last_factors",
+                           jnp.array([0.0, 0.5, 0.8], jnp.float32)),
+                    n_last=N_LAST, axis_name=spatial_axis, D=D)
+                return scenario_tick(lat, s,
+                                     precomputed=dict(obs=obs,
+                                                      window=window), **kw)
+            if per_scen_zones:
+                res = jax.vmap(one)(scen, zb)
+            else:
+                res = jax.vmap(lambda s: one(s, zb))(scen)
+        elif use_pallas:
             obs, window = _batched_window(lat, scen, samples_t,
                                           zone_block=zb)
             res = jax.vmap(
@@ -769,26 +804,30 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
             res = jax.vmap(lambda s: scenario_tick(
                 lat, s, zone_block=zb, **kw))(scen)
         # fleet statistics: genuine cross-device (and cross-host, when a
-        # dcn axis is present) collectives
+        # dcn axis is present) collectives.  Sums reduce over the DATA
+        # axes only — results are replicated over a spatial axis and would
+        # double-count; the min is replication-safe either way.
         cost = jnp.where(res["valid"], res["cost"], jnp.inf)
         best_local = jnp.min(cost)
         n_valid_actions = jnp.sum(res["valid"].astype(jnp.int32))
         stats = dict(
             fleet_min_cost=jax.lax.pmin(best_local, axis_name=axes),
-            fleet_actions=jax.lax.psum(n_valid_actions, axis_name=axes),
+            fleet_actions=jax.lax.psum(n_valid_actions,
+                                       axis_name=data_axes or axes),
         )
         return res, stats
 
     P = jax.sharding.PartitionSpec
+    scen_spec = P(data_axes if data_axes else None)
     if per_scen_zones:
         shmapped = jax.shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(axes), P(axes)),
-            out_specs=(P(axes), P()))
+            in_specs=(scen_spec, scen_spec),
+            out_specs=(scen_spec, P()))
         return jax.jit(lambda scen: shmapped(scen, zone_block))
     body = lambda scen: shard_body(scen, zone_block)
     shmapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes),),
-        out_specs=(P(axes), P()))
+        in_specs=(scen_spec,),
+        out_specs=(scen_spec, P()))
     return jax.jit(shmapped)

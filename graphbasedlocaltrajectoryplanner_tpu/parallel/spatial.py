@@ -102,26 +102,31 @@ def _minplus_mm(A, B):
                                axis=-2), INF)
 
 
-def spatial_window_dp(lat: Lattice, mesh: jax.sharding.Mesh,
-                      start_layer, start_node, zone_block,
-                      obj_pos, obj_radius, obj_active,
-                      obs_layer, obs_node, obs_found,
-                      last_nodes, w_last_factors, n_last: int = 4):
-    """Window DP with the window-step axis sharded over the mesh's ``mp``
-    axis.  Same inputs/outputs as ``pathgen.plan_window_kernel`` (one
-    scenario; batch with an outer ``dp`` mesh axis if desired).
+def spatial_dp_shard(lat: Lattice, start_layer, start_node, zone_block,
+                     obj_pos, obj_radius, obj_active,
+                     obs_layer, obs_node, obs_found,
+                     last_nodes, w_last_factors, n_last: int = 4,
+                     axis_name: str = "mp", D: int = 1):
+    """Two-phase window DP body for ONE scenario, to be called INSIDE a
+    ``shard_map`` over mesh axis ``axis_name`` (``D`` devices).  Each caller
+    derives its contiguous chunk of window steps from ``axis_index``,
+    composes the chunk transfer matrix, exchanges it with ONE
+    ``all_gather``, re-runs its chunk from the exact incoming frontier, and
+    finally all_gathers the per-chunk frontiers so the returned dict is the
+    FULL, mp-replicated equivalent of ``pathgen.plan_window_kernel`` —
+    which lets the rest of the tick (backtrace / assembly / velocity)
+    compose with scenario-``dp`` sharding on a 2-D ``(dp, mp)`` mesh
+    (tests/test_spatial.py::test_dp_mp_composed_mesh).
 
-    :returns: dict(best (4, H+1, N), bp (4, H+1, N), vg, win_layers, h_goal).
+    vmap over scenarios inside the shard_map for a batched ``dp`` shard.
     """
     L, N, H = lat.L, lat.N, lat.H_max
-    D = mesh.shape["mp"]
     Hd = -(-H // D)                                       # ceil
-    Hpad = Hd * D
 
     pre = pg.window_meta(lat, start_layer, obj_pos, obj_radius, obj_active,
                          obs_layer, obs_node, obs_found)
-    # hit masks (object slab distance tests) — replicated host of the mask
-    # build; the per-layer mask application happens sharded below
+    # hit masks (object slab distance tests) — replicated; the per-layer
+    # mask application happens on this device's chunk only
     slab_samples = lat.samples_xy[pre["slab_layers"]]
     d2_slab = jnp.sum(
         (slab_samples - obj_pos[:, None, None, None, None, :]) ** 2, axis=-1)
@@ -129,60 +134,96 @@ def spatial_window_dp(lat: Lattice, mesh: jax.sharding.Mesh,
                 <= pre["ref2"][:, None, None, None]) \
         & pre["obj_app"][:, None, None, None]
 
-    hs_all = jnp.arange(Hpad)
+    i = jax.lax.axis_index(axis_name)
+    hs_loc = i * Hd + jnp.arange(Hd)                      # (Hd,)
 
-    def body(hs_loc):
-        # hs_loc: (Hd,) window-step indices owned by this device
-        w4 = _local_masked_slabs(
-            lat, hs_loc, start_layer, zone_block, pre["slab_layers"],
-            hit_slab, pre["p_obs"], pre["in_win"], obs_node,
-            last_nodes, w_last_factors, n_last)
-        # steps beyond H: min-plus identity (diagonal 0, else INF)
-        eye = jnp.arange(N)[:, None] == jnp.arange(N)[None, :]
-        ident = jnp.where(eye, 0.0, INF)
-        w4 = jnp.where((hs_loc >= H)[None, :, None, None],
-                       ident[None, None], w4)
+    w4 = _local_masked_slabs(
+        lat, hs_loc, start_layer, zone_block, pre["slab_layers"],
+        hit_slab, pre["p_obs"], pre["in_win"], obs_node,
+        last_nodes, w_last_factors, n_last)
+    # steps beyond H: min-plus identity (diagonal 0, else INF)
+    eye = jnp.arange(N)[:, None] == jnp.arange(N)[None, :]
+    ident = jnp.where(eye, 0.0, INF)
+    w4 = jnp.where((hs_loc >= H)[None, :, None, None],
+                   ident[None, None], w4)
 
-        # phase 1: chunk transfer matrix (init derived from inputs so the
-        # scan carry's varying-axes type is consistent under shard_map)
-        P0 = ident[None] + 0.0 * w4[:, 0]
-        def prod(P, w):
-            return _minplus_mm(P, w), None
-        P_loc, _ = jax.lax.scan(prod, P0, jnp.moveaxis(w4, 1, 0))
+    # phase 1: chunk transfer matrix (init derived from inputs so the
+    # scan carry's varying-axes type is consistent under shard_map)
+    P0 = ident[None] + 0.0 * w4[:, 0]
 
-        # phase 2: frontier halo exchange + prefix composition
-        Pg = jax.lax.all_gather(P_loc, "mp")              # (D, 4, N, N)
-        i = jax.lax.axis_index("mp")
-        f0 = jnp.where(jnp.arange(N) == start_node, 0.0, INF)[None, :] \
-            + 0.0 * P_loc[:, 0]                           # (4, N)
+    def prod(Pm, w):
+        return _minplus_mm(Pm, w), None
+    P_loc, _ = jax.lax.scan(prod, P0, jnp.moveaxis(w4, 1, 0))
 
-        def compose(f, j):
-            fj = jnp.minimum(jnp.min(f[:, :, None] + Pg[j], axis=1), INF)
-            return jnp.where(j < i, fj, f), None
-        f, _ = jax.lax.scan(compose, f0, jnp.arange(D))
+    # phase 2: frontier halo exchange + prefix composition
+    Pg = jax.lax.all_gather(P_loc, axis_name)             # (D, 4, N, N)
+    f0 = jnp.where(jnp.arange(N) == start_node, 0.0, INF)[None, :] \
+        + 0.0 * P_loc[:, 0]                               # (4, N)
 
-        # local re-run from the exact frontier: costs + backpointers
-        def step(best, w):
-            tot = best[:, :, None] + w
-            best_next = jnp.minimum(jnp.min(tot, axis=1), INF)
-            bp_next = jnp.argmin(tot, axis=1).astype(jnp.int32)
-            return best_next, (best_next, bp_next)
-        _, (best_t, bp_t) = jax.lax.scan(step, f, jnp.moveaxis(w4, 1, 0))
-        return (jnp.moveaxis(best_t, 0, 1),               # (4, Hd, N)
-                jnp.moveaxis(bp_t, 0, 1))
+    def compose(f, j):
+        fj = jnp.minimum(jnp.min(f[:, :, None] + Pg[j], axis=1), INF)
+        return jnp.where(j < i, fj, f), None
+    f, _ = jax.lax.scan(compose, f0, jnp.arange(D))
 
-    P = jax.sharding.PartitionSpec
-    best_t, bp_t = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P("mp"),),
-        out_specs=(P(None, "mp", None), P(None, "mp", None)))(hs_all)
+    # local re-run from the exact frontier: costs + backpointers
+    def step(best, w):
+        tot = best[:, :, None] + w
+        best_next = jnp.minimum(jnp.min(tot, axis=1), INF)
+        bp_next = jnp.argmin(tot, axis=1).astype(jnp.int32)
+        return best_next, (best_next, bp_next)
+    _, (best_t, bp_t) = jax.lax.scan(step, f, jnp.moveaxis(w4, 1, 0))
+    # (Hd, 4, N) chunks -> full (4, H, N), replicated over the mp axis.
+    # Scatter-into-slot + psum rather than all_gather: psum PROVES the
+    # result replicated to shard_map's vma checker (an all_gather output
+    # is not statically known replicated), so the composed (dp, mp) tick
+    # can emit these under out_specs that drop the mp axis.
+    Hpad = D * Hd
+    buf_b = jax.lax.dynamic_update_slice(
+        jnp.zeros((Hpad, 4, N), best_t.dtype), best_t, (i * Hd, 0, 0))
+    buf_p = jax.lax.dynamic_update_slice(
+        jnp.zeros((Hpad, 4, N), bp_t.dtype), bp_t, (i * Hd, 0, 0))
+    best_all = jax.lax.psum(buf_b, axis_name)
+    bp_all = jax.lax.psum(buf_p, axis_name)
+    best_full = jnp.moveaxis(best_all, 0, 1)[:, :H]
+    bp_full = jnp.moveaxis(bp_all, 0, 1)[:, :H]
 
     best0 = jnp.full((4, 1, N), INF).at[:, 0, start_node].set(0.0)
-    best = jnp.concatenate([best0, best_t[:, :H]], axis=1)
+    best = jnp.concatenate([best0, best_full], axis=1)
     bp = jnp.concatenate([jnp.full((4, 1, N), -1, jnp.int32),
-                          bp_t[:, :H]], axis=1)
+                          bp_full], axis=1)
     win_layers = pre["win_layers"]
     vg = pg.window_vg(lat, win_layers, zone_block, pre["p_obs"],
                       pre["in_win"], obs_node)
     return dict(best=best, bp=bp, vg=vg, win_layers=win_layers,
                 h_goal=pre["h_goal"])
+
+
+def spatial_window_dp(lat: Lattice, mesh: jax.sharding.Mesh,
+                      start_layer, start_node, zone_block,
+                      obj_pos, obj_radius, obj_active,
+                      obs_layer, obs_node, obs_found,
+                      last_nodes, w_last_factors, n_last: int = 4):
+    """Window DP with the window-step axis sharded over the mesh's ``mp``
+    axis.  Same inputs/outputs as ``pathgen.plan_window_kernel`` (one
+    scenario; batch with an outer ``dp`` mesh axis if desired — see
+    ``parallel.scenario.make_sharded_tick(spatial_axis="mp")`` for the
+    composed 2-D form).
+
+    :returns: dict(best (4, H+1, N), bp (4, H+1, N), vg, win_layers, h_goal).
+    """
+    D = mesh.shape["mp"]
+    P = jax.sharding.PartitionSpec
+
+    def body(sl, sn, zb, op, orad, oact, ol, on, of, ln, wf):
+        return spatial_dp_shard(lat, sl, sn, zb, op, orad, oact, ol, on,
+                                of, ln, wf, n_last=n_last,
+                                axis_name="mp", D=D)
+
+    shmapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) * 11,
+        out_specs=jax.tree_util.tree_map(lambda _: P(), dict(
+            best=0, bp=0, vg=0, win_layers=0, h_goal=0)))
+    return shmapped(start_layer, start_node, zone_block, obj_pos,
+                    obj_radius, obj_active, obs_layer, obs_node, obs_found,
+                    last_nodes, w_last_factors)

@@ -102,6 +102,48 @@ def test_spatial_zone_blocking(lat, mesh):
     assert int(np.asarray(n_ref)[3]) == int(lat.rl_idx[lay])
 
 
+def test_dp_mp_composed_mesh(lat):
+    """Composed 2-D (dp, mp) mesh (VERDICT r3 item 4): scenarios shard over
+    4 dp devices while each scenario's window DP splits over 2 mp devices
+    (spatial_dp_shard inside the sharded tick).  Results must match the
+    plain single-device batched tick: identical valid sets and node-exact
+    trajectories up to float re-association of the min-plus compose."""
+    devs = jax.devices()
+    mesh2 = jax.sharding.Mesh(np.array(devs).reshape(4, 2), ("dp", "mp"))
+    scen = sc.random_scenarios(lat, 8, seed=9, n_objects=1)
+
+    ref = sc.make_batched_tick(lat, use_pallas=False)(scen)
+    tick_sp = sc.make_sharded_tick(lat, mesh2, use_pallas=False,
+                                   spatial_axis="mp")
+    spec = jax.sharding.NamedSharding(mesh2,
+                                      jax.sharding.PartitionSpec("dp"))
+    scen_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, spec),
+                                     scen)
+    res, stats = tick_sp(scen_sh)
+
+    np.testing.assert_array_equal(np.asarray(res["valid"]),
+                                  np.asarray(ref["valid"]))
+    np.testing.assert_array_equal(np.asarray(res["n_valid"]),
+                                  np.asarray(ref["n_valid"]))
+    np.testing.assert_allclose(np.asarray(res["cost"]),
+                               np.asarray(ref["cost"]), rtol=1e-4)
+    v = np.asarray(ref["valid"])
+    nvr = np.asarray(ref["n_valid"])
+    for b in range(8):
+        for s in range(sc.N_OUT):
+            if not v[b, s]:
+                continue
+            n = int(nvr[b, s])
+            np.testing.assert_allclose(
+                np.asarray(res["trajs"])[b, s, :n],
+                np.asarray(ref["trajs"])[b, s, :n],
+                atol=1e-3, err_msg=f"scenario {b} slot {s}")
+    # fleet stats reduce over dp only (mp-replicated results must not
+    # double-count)
+    n_valid_total = int(v.sum())
+    assert int(stats["fleet_actions"]) == n_valid_total
+
+
 def test_spatial_unclosed_track_end(mesh):
     """Open-track lattice with the window crossing the track end: the
     spatial DP's off-end INF masking (_local_masked_slabs open branch) and
