@@ -286,7 +286,9 @@ def scenario_tick(lat: Lattice, scen: Scenario,
                   filt_window: int = 1,
                   sqp_x0: jnp.ndarray = None,
                   tire_end_idx: int = 0,
-                  tire_end_mps2: float = 5.0):
+                  tire_end_mps2: float = 5.0,
+                  sqp_m: int = None,
+                  sqp_step: float = 2.5):
     """One full action-set replan for a single scenario (jit/vmap-able).
 
     Implements the reference's complete per-tick semantics in-graph:
@@ -593,7 +595,9 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             sqp_x0=sqp_x0,
             veh_turn=jnp.float32(lat.veh_turn),
             tire_end_idx=tire_end_idx,
-            tire_end_mps2=tire_end_mps2)
+            tire_end_mps2=tire_end_mps2,
+            sqp_m=sqp_m,
+            sqp_step=sqp_step)
         trajs4 = o["trajs"]
         # broken velocity constraints remove overtake actions; follow /
         # straight are always retained (no backup state in the batched

@@ -776,7 +776,9 @@ class OnlineHandler:
                     is_overtake=action_id in ("left", "right"),
                     veh_turn=float(lat.veh_turn),
                     tire_end_idx=tire_end_idx,
-                    tire_end_mps2=tire_end_mps2)
+                    tire_end_mps2=tire_end_mps2,
+                    sqp_m=int(cfg.nmbr_export_points),
+                    sqp_step=float(lat.sampled_resolution))
 
                 # store the SQP solution for the next tick's warm start —
                 # skipped on infeasible solves (VpSQP.py:244, 433-434)

@@ -94,8 +94,59 @@ def _runout_velocity(roll_vel, roll_cum, target_dist):
     return jnp.where(target_dist <= 0.0, roll_vel[0], roll_vel[idx])
 
 
+
+def _sqp_m_window(cols, pref_idx, l_real, m):
+    """VpSQP's m-point virtual window from a padded per-point table: rows
+    ``pref_idx .. pref_idx+m-1``, clamped beyond the real slice length
+    ``l_real`` by repeating the last row's values (kappa/gg) and the step
+    at ``l_real - 2`` for the element-length column (VpSQP.py:185-205,
+    329-359 truncation/enlargement).  ``pref_idx`` is the delay-comp cut
+    (<= C_PAD = 64 rows, the barrel-shift bound).
+
+    :param cols: (P, C) table with the element length in column 1.
+    :returns: (m, C).
+    """
+    idx_m = jnp.arange(m)
+    win = dynshift.shift_rows_up(cols, pref_idx, 64)[:m]
+
+    def row_at(j):
+        j = jnp.clip(j, 0, m - 1)
+        return jnp.sum(jnp.where((idx_m == j)[:, None], win, 0.0), axis=0)
+    last_v = row_at(l_real - 1)
+    last_e = row_at(l_real - 2)
+    out = jnp.where((idx_m < l_real)[:, None], win, last_v[None, :])
+    el = jnp.where(idx_m < l_real - 1, win[:, 1], last_e[1])
+    return out.at[:, 1].set(el)
+
+
+def _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d, veh_length,
+                     axc, step):
+    """VpSQP's follow-mode pointwise velocity cap on the UNIFORM step grid
+    (VpSQP.py:146-181): free running to the safety gap, the opponent
+    braking-assumption curve beyond (closed form of the reference's Euler
+    recurrence v_k = sqrt(v_{k-1}^2 - 2 a step)), one depleted sample at
+    2 m/s, and the v_obj prefill for entries the reference loop leaves
+    untouched (including the final grid point when no depletion occurs
+    within the horizon)."""
+    idx_m = jnp.arange(m)
+    idx_vmax = jnp.clip(
+        jnp.ceil((obj_dist - safety_d - veh_length) / step).astype(jnp.int32),
+        0, m)
+    j = idx_m - idx_vmax
+    rt = v_obj ** 2 - 2.0 * axc * step * j.astype(jnp.float32)
+    dep_j = (jnp.floor(v_obj ** 2
+                       / jnp.maximum(2.0 * axc * step, 1e-9))
+             .astype(jnp.int32) + 1)
+    fill_n = jnp.where(dep_j <= m - 1, dep_j + 1, m - 1)
+    val = jnp.where(j == 0, v_obj,
+                    jnp.where(j == dep_j, 2.0,
+                              jnp.sqrt(jnp.maximum(rt, 0.0))))
+    tail = jnp.where((j >= 0) & (j < fill_n), val, v_obj)
+    return jnp.where(idx_m < idx_vmax, vel_max, tail)
+
+
 @partial(jax.jit, static_argnames=("control_type", "filt_window",
-                                   "vp_backend", "dyn_model_exp"))
+                                   "vp_backend", "dyn_model_exp", "sqp_m"))
 def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     n_valid,         # scalar int32 — valid points
                     gg,              # (P, 2) local gg (unscaled)
@@ -119,7 +170,9 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
                     is_overtake=False,
                     veh_turn=7.0,
                     tire_end_idx=0,
-                    tire_end_mps2=5.0):
+                    tire_end_mps2=5.0,
+                    sqp_m: int = None,
+                    sqp_step=2.5):
     """Full per-action velocity profile (OTH:736-941).
 
     :param vp_backend: "fb" (forward-backward solver) or "sqp" (ADMM QP,
@@ -134,6 +187,17 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
         maintains the MPC-shifted per-action state, VpSQP.py:86,213-217).
     :param is_overtake: left/right action — inaccurate SQP solutions are
         zeroed (removed) rather than kept (VpSQP.py:419-426).
+    :param sqp_m: the SQP planner's fixed horizon length in points — the
+        reference's ``nmbr_export_points`` (ltpl_config_online.ini EXPORT):
+        VpSQP truncates longer profiles to m and pads shorter ones by
+        repeating the last curvature / step length (VpSQP:185-205,329-359),
+        solves the m-point virtual window with the conservative terminal
+        velocity at index m-1, and zero-fills beyond.  None solves the full
+        padded array (legacy round-3 behavior, unit-test shapes).
+    :param sqp_step: the uniform spline step size [m] (offline
+        ``stepsize_approx``) used by the reference's follow-mode opponent
+        vmax fill (VpSQP:148-176 indexes the gap on the uniform grid, not
+        on the actual element lengths).
     :returns: dict(traj (P, 7) [s x y psi kappa vx ax], vel_bound bool,
                    too_close bool; SQP adds vx_sqp (P,) raw profile for the
                    warm-start store and qp_status int32)
@@ -290,51 +354,64 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
     if vp_backend == "sqp":
         from graphbasedlocaltrajectoryplanner_tpu.ops.qp import (
             qp_vel_profile, qp_solver_status)
-        # conservative tire assumption over the delay-compensation window at
-        # the QP horizon end + conservative terminal velocity from the
-        # vehicle turn radius (VpSQP.py:74-81, 222-224, 361-364)
-        in_tire_n = (idx >= v_idx - tire_end_idx) & (idx < v_idx)
-        gg_sqp_n = jnp.where(in_tire_n[:, None], tire_end_mps2, gg_s)
+        # the reference SQP solves a FIXED m-point window from the cut
+        # (m = nmbr_export_points): longer slices truncate, shorter ones
+        # pad by repetition, the conservative terminal velocity applies at
+        # virtual index m-1 and the tire-end window covers the last
+        # tire_end_idx grid points (VpSQP.py:74-81, 185-205, 329-364)
+        m = P if sqp_m is None else min(sqp_m, P)
+        idx_m = jnp.arange(m)
         v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
-        x0v = sqp_x0 if sqp_x0 is not None else jnp.full((P,), 20.0)
+        x0v = (sqp_x0 if sqp_x0 is not None else jnp.full((P,), 20.0))[:m]
+        in_tire_m = idx_m >= m - tire_end_idx
+        cols = jnp.stack([kappa, el, gg_s[:, 0], gg_s[:, 1]], axis=1)
+
+        # --- normal branch: window over the v_idx-cut slice --------------
+        win_n = _sqp_m_window(cols, pref_idx, v_idx - pref_idx, m)
+        gg_n = jnp.where(in_tire_m[:, None], tire_end_mps2, win_n[:, 2:4])
         vx_qn, res_n = qp_vel_profile(
-            kappa_m, el_n, gg_sqp_n, machines, vel_max, vel_start,
-            v_end=v_end_consv, end_idx=v_idx, drag_coeff=drag_coeff,
-            m_veh=m_veh, pin_idx=pref_idx, x0_v=x0v)
+            win_n[:, 0], win_n[:, 1], gg_n, machines, vel_max, vel_start,
+            v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=0, x0_v=x0v)
         st_n = qp_solver_status(res_n)
         # infeasibility / inaccuracy handoff: straight+follow zero only on
         # infeasible (-3) -> vel_bound False -> handler's backup ladder;
         # overtakes are also removed on inaccurate solves (VpSQP:415-430)
         zero_n = (st_n == -3) | (jnp.asarray(is_overtake) & (st_n == 2))
-        vx_normal = jnp.where(zero_n, 0.0, vx_qn)
+        vx_qn = jnp.where(zero_n, 0.0, vx_qn)
+        # place the m-grid solution back on the padded path rows
+        # (pref_idx + i); rows beyond the window zero-fill (VpSQP:438-442)
+        vx_normal = dynshift.shift_rows_down(
+            jnp.concatenate([vx_qn, jnp.zeros((P - m,))])[:, None],
+            pref_idx, 64)[:, 0]
 
-        # follow mode via QP: pointwise opponent vmax — free running to the
-        # safety gap, opponent-braking-assumption curve beyond, single
-        # depleted sample at 2 m/s then v_obj (VpSQP:146-181 exact fill)
-        d_free = obj_dist - safety_d - veh_length
-        axc = gg_s[0, 0]
-        rt = v_obj ** 2 - 2.0 * axc * jnp.maximum(s_f - d_free, 0.0)
-        depleted = rt < 0.0
-        first_dep = jnp.argmax(depleted)
-        has_dep = depleted[first_dep]
-        v_opp_cap = jnp.where(depleted & has_dep,
-                              jnp.where(idx == first_dep, 2.0, v_obj),
-                              jnp.sqrt(jnp.maximum(rt, 0.0)))
-        vmax_f = jnp.where(s_f < d_free, vel_max, v_opp_cap)
-        in_tire_f = (idx >= n_valid - tire_end_idx) & (idx < n_valid)
-        gg_sqp_f = jnp.where(in_tire_f[:, None], tire_end_mps2, gg_s)
+        # --- follow branch: window over the full-path slice, pointwise
+        # opponent vmax on the uniform step grid (VpSQP:146-181) ----------
+        win_f = _sqp_m_window(cols, pref_idx, n_valid - pref_idx, m)
+        gg_f = jnp.where(in_tire_m[:, None], tire_end_mps2, win_f[:, 2:4])
+        vmax_f = _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d,
+                                  veh_length, gg_s[0, 0], sqp_step)
         vx_qf, res_f = qp_vel_profile(
-            kappa_m, el_m, gg_sqp_f, machines, vmax_f, vel_start,
-            v_end=v_end_consv, end_idx=n_valid, drag_coeff=drag_coeff,
-            m_veh=m_veh, pin_idx=pref_idx, x0_v=x0v, v_max_scale=vel_max)
+            win_f[:, 0], win_f[:, 1], gg_f, machines, vmax_f, vel_start,
+            v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=0, x0_v=x0v)
         st_f = qp_solver_status(res_f)
-        vx_follow = jnp.where(st_f == -3, 0.0, vx_qf)
+        vx_qf = jnp.where(st_f == -3, 0.0, vx_qf)
+        vx_follow = dynshift.shift_rows_down(
+            jnp.concatenate([vx_qf, jnp.zeros((P - m,))])[:, None],
+            pref_idx, 64)[:, 0]
         # SQP follow never raises too_close (VpSQP:246-247)
         too_close = jnp.asarray(False)
         follow_bound_sqp = jnp.abs(vx_follow[pref_idx] - vel_start) \
             < v_max_offset
         qp_status = jnp.where(is_follow, st_f, st_n)
-        vx_sqp = jnp.where(is_follow, vx_follow, vx_normal)
+        # MPC warm-start store: the m raw grid values, then the last value
+        # repeated so the handler's shift-and-fill push reads the same
+        # entries the reference's x0[m-1] repetition produces
+        # (VpSQP.py:320-324)
+        vx_raw_m = jnp.where(is_follow, vx_qf, vx_qn)
+        vx_sqp = jnp.concatenate(
+            [vx_raw_m, jnp.zeros((P - m,)) + vx_raw_m[m - 1]])
     # zeros beyond the (possibly reduced) profile end (OTH:900-903)
     vx_normal = jnp.where(idx >= v_idx, 0.0, vx_normal)
     # degenerate range -> all-zero profile (OTH:897-898)
@@ -380,7 +457,7 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
 @partial(jax.jit, static_argnames=("control_type", "follow_slot",
                                    "dyn_model_exp", "filt_window",
-                                   "vp_backend"))
+                                   "vp_backend", "sqp_m"))
 def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             n_valids,     # (4,)
                             gg,           # (P, 2) shared local gg (unscaled)
@@ -402,7 +479,9 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             sqp_x0=None,
                             veh_turn=7.0,
                             tire_end_idx=0,
-                            tire_end_mps2=5.0):
+                            tire_end_mps2=5.0,
+                            sqp_m: int = None,
+                            sqp_step=2.5):
     """Slot-specialized velocity stage for the batched scenario engine —
     the same math as 4x :func:`velocity_kernel` (with
     ``gg_scale=old_gg_scale=1``) but the follow solver runs ONLY for the
@@ -527,63 +606,73 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     qp_status4 = jnp.zeros((4,), jnp.int32)
     vx_sqp = jnp.zeros((4, P))
     if vp_backend == "sqp":
-        # ---- batched dense MXU ADMM solves (VpSQP.py:224-236) -------------
+        # ---- batched dense MXU ADMM solves over the reference's FIXED
+        # m-point window (VpSQP.py:185-205, 224-236, 329-364): the 4
+        # normal-branch QPs batch over the slot axis, plus one pointwise-
+        # vmax follow QP; semantics identical to velocity_kernel's SQP
+        # path (pinned in tests/test_velplan_fused.py)
         from graphbasedlocaltrajectoryplanner_tpu.ops.qp import (
             qp_vel_profile, qp_solver_status)
-        # conservative tire assumption over the delay-compensation window
-        # at each slot's QP horizon end + conservative terminal velocity
-        # from the vehicle turn radius (VpSQP.py:74-81, 222-224, 361-364)
-        in_tire_n = (idx[None, :] >= v_idx[:, None] - tire_end_idx) \
-            & (idx[None, :] < v_idx[:, None])            # (4, P)
-        gg_sqp_n = jnp.where(in_tire_n[:, :, None], tire_end_mps2,
-                             gg[None, :, :])             # (4, P, 2)
+        m = P if sqp_m is None else min(sqp_m, P)
+        idx_m = jnp.arange(m)
         v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
-        x0v = sqp_x0 if sqp_x0 is not None else jnp.full((4, P), 20.0)
+        x0v = (sqp_x0 if sqp_x0 is not None
+               else jnp.full((4, P), 20.0))[:, :m]
+        in_tire_m = idx_m >= m - tire_end_idx
+        cols4 = jnp.concatenate(
+            [kappa[:, :, None], el[:, :, None],
+             jnp.broadcast_to(gg[None], (4,) + gg.shape)], axis=2)
+
+        def place_back(vx_m):
+            return dynshift.shift_rows_down(
+                jnp.concatenate([vx_m, jnp.zeros(vx_m.shape[:-1] + (P - m,))],
+                                axis=-1)[..., None], c_len, 64)[..., 0]
+
+        # --- normal branch per slot: window over the v_idx-cut slice -----
+        win_n = jax.vmap(lambda c, l: _sqp_m_window(c, c_len, l, m))(
+            cols4, v_idx - pref_idx)                     # (4, m, 4)
+        gg_n = jnp.where(in_tire_m[None, :, None], tire_end_mps2,
+                         win_n[:, :, 2:4])
         vx_qn, res_n = jax.vmap(
-            lambda k, e, g, vs, vi, pi, x0: qp_vel_profile(
+            lambda k, e, g, vs, x0: qp_vel_profile(
                 k, e, g, machines, vel_max, vs, v_end=v_end_consv,
-                end_idx=vi, drag_coeff=drag_coeff, m_veh=m_veh,
-                pin_idx=pi, x0_v=x0))(
-            kappa_m, el_n, gg_sqp_n, vel_start, v_idx, pref_idx, x0v)
+                end_idx=m, drag_coeff=drag_coeff, m_veh=m_veh,
+                pin_idx=0, x0_v=x0))(
+            win_n[:, :, 0], win_n[:, :, 1], gg_n, vel_start, x0v)
         st_n = jax.vmap(qp_solver_status)(res_n)         # (4,)
         # infeasibility / inaccuracy handoff (VpSQP:238-243, 415-430):
         # all slots zero on infeasible (-3); overtake slots additionally
         # removed on inaccurate solves (2)
         is_ot = jnp.arange(4) >= 2
         zero_n = (st_n == -3) | (is_ot & (st_n == 2))
-        vx_normal = jnp.where(zero_n[:, None], 0.0, vx_qn)
+        vx_qn = jnp.where(zero_n[:, None], 0.0, vx_qn)
+        vx_normal = place_back(vx_qn)                    # (4, P)
 
-        # follow mode via QP (slot F): pointwise opponent vmax — free
-        # running to the safety gap, opponent-braking-assumption curve
-        # beyond, single depleted sample at 2 m/s then v_obj
-        # (VpSQP:146-181 exact fill)
-        d_free = obj_dist - safety_d - veh_length
-        axc = gg[0, 0]
-        rt = v_obj ** 2 - 2.0 * axc * jnp.maximum(s_f - d_free, 0.0)
-        depleted = rt < 0.0
-        first_dep = jnp.argmax(depleted)
-        has_dep = depleted[first_dep]
-        v_opp_cap = jnp.where(depleted & has_dep,
-                              jnp.where(idx == first_dep, 2.0, v_obj),
-                              jnp.sqrt(jnp.maximum(rt, 0.0)))
-        vmax_f = jnp.where(s_f < d_free, vel_max, v_opp_cap)
-        in_tire_f = (idx >= n_valids[F] - tire_end_idx) & (idx < n_valids[F])
-        gg_sqp_f = jnp.where(in_tire_f[:, None], tire_end_mps2, gg)
+        # --- follow branch (slot F): window over the full-path slice,
+        # pointwise opponent vmax on the uniform step grid ----------------
+        win_f = _sqp_m_window(cols4[F], c_len, n_valids[F] - pref_idx[F], m)
+        gg_f = jnp.where(in_tire_m[:, None], tire_end_mps2, win_f[:, 2:4])
+        vmax_f = _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d,
+                                  veh_length, gg[0, 0], sqp_step)
         vx_qf, res_f = qp_vel_profile(
-            kappa_m[F], el_m[F], gg_sqp_f, machines, vmax_f, vel_start[F],
-            v_end=v_end_consv, end_idx=n_valids[F], drag_coeff=drag_coeff,
-            m_veh=m_veh, pin_idx=pref_idx[F], x0_v=x0v[F],
-            v_max_scale=vel_max)
+            win_f[:, 0], win_f[:, 1], gg_f, machines, vmax_f, vel_start[F],
+            v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,
+            m_veh=m_veh, pin_idx=0, x0_v=x0v[F])
         st_f = qp_solver_status(res_f)
-        vx_follow = jnp.where(st_f == -3, 0.0, vx_qf)
+        vx_qf = jnp.where(st_f == -3, 0.0, vx_qf)
+        vx_follow = place_back(vx_qf)                    # (P,)
         follow_bound = jnp.abs(
             vx_follow[pref_idx[F]] - vel_start[F]) < v_max_offset
         # SQP follow never raises too_close (VpSQP:246-247)
         too_close = jnp.asarray(False)
         is_follow4 = jnp.arange(4) == F
         qp_status4 = jnp.where(is_follow4, st_f, st_n)
-        vx_sqp = jnp.where(is_follow4[:, None], vx_follow[None, :],
-                           vx_normal)
+        vx_raw_m = jnp.where(is_follow4[:, None], vx_qf[None, :], vx_qn)
+        # MPC warm-start store: m grid values + last-value repetition for
+        # the handler's shift-and-fill push (VpSQP.py:320-324)
+        vx_sqp = jnp.concatenate(
+            [vx_raw_m,
+             jnp.zeros((4, P - m)) + vx_raw_m[:, m - 1:m]], axis=1)
     else:
         # ---- level 1: ego brake (F) + unconstr fwd (F) + normal fwd x4 ----
         lvl1 = _lvl([_brake_row(kabs_m[F], el_m[F], vel_start[F]),

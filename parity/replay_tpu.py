@@ -94,12 +94,20 @@ def replay(fixture_path, ticks=None, verbose=False):
         else:
             csv_path = (REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
                         + track + ".csv")
+        vp_type = (fix["vp_type"].item().decode()
+                   if "vp_type" in fix.files else "fb")
+        online_ini = REF + "/params/ltpl_config_online.ini"
+        if vp_type == "sqp":
+            # identical derived config the recorder drove the reference
+            # with (parity/run_reference.sqp_online_ini)
+            online_ini = os.path.join(HERE, "fixtures",
+                                      "ltpl_config_online_sqp.ini")
         path_dict = {
             "globtraj_input_path": csv_path,
             "graph_store_path": os.path.join(TOP, "artifacts",
                                              f"parity_lattice_{track}.npz"),
             "ltpl_offline_param_path": REF + "/params/ltpl_config_offline.ini",
-            "ltpl_online_param_path": REF + "/params/ltpl_config_online.ini",
+            "ltpl_online_param_path": online_ini,
         }
         ltpl = GraphLTPL(path_dict, visual_mode=False, log_to_file=False)
         ltpl.graph_init()

@@ -36,6 +36,19 @@ sys.path.insert(0, REF)
 TICK_DT = 0.1
 
 
+def sqp_online_ini() -> str:
+    """Write (once) the derived online config with ``vp_type=sqp`` next to
+    the fixtures and return its path — recorder and replay must drive
+    their planners with the identical file."""
+    src = os.path.join(REF, "params", "ltpl_config_online.ini")
+    dst = os.path.join(HERE, "fixtures", "ltpl_config_online_sqp.ini")
+    txt = open(src).read().replace("vp_type=fb", "vp_type=sqp")
+    assert "vp_type=sqp" in txt
+    with open(dst, "w") as fh:
+        fh.write(txt)
+    return dst
+
+
 class FakeClock:
     def __init__(self, t0=1_000_000.0):
         self.t = t0
@@ -56,6 +69,10 @@ def main():
                     help="std-example scenario: dummy opponent + blocked zone")
     ap.add_argument("--objects2", action="store_true",
                     help="two dynamic opponents (no zone)")
+    ap.add_argument("--vp", default="fb", choices=["fb", "sqp"],
+                    help="reference velocity planner (vp_type); 'sqp' "
+                         "routes VpSQP through the velocity_optimization "
+                         "shim (parity/shims/velocity_optimization)")
     ap.add_argument("--csv", default=None,
                     help="explicit track CSV path (e.g. a truncated/"
                          "unclosed track); --track becomes the label")
@@ -74,8 +91,16 @@ def main():
     import graph_ltpl  # noqa: E402  (the reference package)
 
     suffix = "_obj" if args.objects else ("_obj2" if args.objects2 else "")
+    if args.vp != "fb":
+        suffix += "_" + args.vp
     out = args.out or os.path.join(
         HERE, "fixtures", f"ref_{args.track}_{args.ticks}{suffix}.npz")
+
+    online_ini = REF + "/params/ltpl_config_online.ini"
+    if args.vp == "sqp":
+        # derived config with the SQP planner selected (committed so the
+        # replay drives the TPU handler with the identical file)
+        online_ini = sqp_online_ini()
 
     csv_path = args.csv or (REF + "/inputs/traj_ltpl_cl/traj_ltpl_cl_"
                             + args.track + ".csv")
@@ -84,7 +109,7 @@ def main():
         "graph_store_path": os.path.join(HERE, "fixtures",
                                          f"ref_graph_{args.track}.pckl"),
         "ltpl_offline_param_path": REF + "/params/ltpl_config_offline.ini",
-        "ltpl_online_param_path": REF + "/params/ltpl_config_online.ini",
+        "ltpl_online_param_path": online_ini,
     }
 
     t0 = time.perf_counter()
@@ -170,6 +195,7 @@ def main():
             print(f"[ref] tick {tick:4d} v={vel_est:5.1f} "
                   f"set={sorted(traj_set)}")
 
+    record["vp_type"] = np.bytes_(args.vp.encode())
     record["ticks"] = np.int64(args.ticks)
     record["track"] = np.bytes_(args.track.encode())
     record["tick_dt"] = np.float64(TICK_DT)

@@ -341,7 +341,9 @@ def test_engine_replays_handler_lap_sqp(oval):
             m_veh=oth.m_veh, zone_block=zone_block, w_last_factors=w_fac,
             incl_emergency=True, vp_backend="sqp",
             sqp_x0=jnp.asarray(x0), tire_end_idx=int(tire[0]),
-            tire_end_mps2=float(tire[1]))
+            tire_end_mps2=float(tire[1]),
+            sqp_m=int(oth.cfg.nmbr_export_points),
+            sqp_step=float(lat.sampled_resolution))
         valid = np.asarray(out["valid"])
         engine_names = {SLOT_NAME[s] for s in range(sc.N_OUT) if valid[s]}
         assert engine_names == set(traj_set), \

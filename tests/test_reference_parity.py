@@ -105,6 +105,18 @@ def test_reference_parity_all_tracks(track):
     assert rep["actions_extra_in_tpu"] == [], rep
 
 
+def test_reference_parity_sqp():
+    """vp_type=sqp end-to-end golden (VERDICT r3 item 3): the reference's
+    VpSQP + OTH SQP seam executed verbatim (QP core supplied to the
+    reference by the velocity_optimization shim — see its docstring for
+    what this does and does not prove) vs the TPU handler's fixed-m SQP
+    pipeline with MPC warm starts.  Full 200-tick report: 0.10 mm /
+    0.0052 m/s (PARITY.md)."""
+    rep = _run("ref_monteblanco_200_sqp.npz", ticks=60)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
 def test_reference_parity_unclosed_track():
     """Truncated (unclosed) track: exercises the reference's open-track
     offline branch (main_offline_callback.py:91-100), the shrinking
