@@ -129,6 +129,24 @@ def main():
     except Exception as e:            # pragma: no cover
         details["multi_opponent_error"] = str(e)
 
+    # fleet-scale SQP velocity backend (VERDICT r3 item 2): the batched
+    # engine honoring vp_type=sqp — 5 dense m-point ADMM QP solves per
+    # scenario on the MXU (ops/qp.py; m = the reference's
+    # nmbr_export_points)
+    try:
+        tick_sqp = sc.make_batched_tick(lat, vp_backend="sqp", sqp_m=115)
+        scen_q = sc.random_scenarios(lat, batch=batch, seed=3, n_objects=1)
+        jax.block_until_ready(tick_sqp(scen_q))
+        nq = max(iters // 4, 3)
+        t0 = time.perf_counter()
+        for _ in range(nq):
+            outq = tick_sqp(scen_q)
+        jax.block_until_ready(outq)
+        details["sqp_backend_replans_per_sec"] = \
+            batch * nq / (time.perf_counter() - t0)
+    except Exception as e:            # pragma: no cover
+        details["sqp_backend_error"] = str(e)
+
     # per-stage breakdown (profiler-trace scope attribution; falls back to
     # the cumulative-prefix timing where no trace can be captured) + the
     # roofline-style account (VERDICT r3 item 1: both views are published —

@@ -17,3 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: closed-loop laps, multihost subprocess launches, reference "
+        "parity replays, batched-engine equivalence sweeps. Quick tier: "
+        "pytest -m 'not slow' (~2-3 min vs ~23 min full).")

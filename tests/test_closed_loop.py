@@ -16,6 +16,8 @@ from graphbasedlocaltrajectoryplanner_tpu.planner.handler import OnlineHandler
 from graphbasedlocaltrajectoryplanner_tpu.planner import objects as objmod
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import vdc_dummy
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def oval():

@@ -27,6 +27,8 @@ from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import (
     vdc_dummy)
 
+pytestmark = pytest.mark.slow
+
 VEL_MAX = 70.0
 MACHINES = np.array([[0.0, 5.0], [100.0, 5.0]], np.float32)
 SAFETY_D = 30.0

@@ -21,6 +21,8 @@ from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import vdc_dum
 from graphbasedlocaltrajectoryplanner_tpu.visualization.log_viewer import (
     plot_follow_debug)
 
+pytestmark = pytest.mark.slow
+
 HEADER = "time;obj_dist;control_dist;v_control;v_target;v_ego\n"
 
 

@@ -12,6 +12,8 @@ from graphbasedlocaltrajectoryplanner_tpu.utils.logging import (DataLogger,
                                                                 read_data_log)
 from graphbasedlocaltrajectoryplanner_tpu.utils.replay import replay_validate
 
+pytestmark = pytest.mark.slow
+
 
 def test_log_roundtrip_and_replay(tmp_path):
     gt = make_oval_track()

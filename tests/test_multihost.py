@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, json
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")

@@ -101,6 +101,7 @@ def test_matches_scan_kernel_no_extras(lat):
         np.testing.assert_array_equal(bp_p[b], np.asarray(out["bp"]))
 
 
+@pytest.mark.slow
 def test_batched_tick_pallas_path_matches(lat):
     """make_batched_tick(use_pallas=True) (interpreter on CPU) produces the
     same trajectories/action sets as the XLA scan path."""

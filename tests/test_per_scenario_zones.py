@@ -16,6 +16,8 @@ from graphbasedlocaltrajectoryplanner_tpu.models.lattice import build_lattice
 from graphbasedlocaltrajectoryplanner_tpu.utils.config import OfflineConfig
 from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lat():

@@ -18,6 +18,8 @@ import pytest
 
 from parity.replay_tpu import replay
 
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 FIXDIR = os.path.join(os.path.dirname(HERE), "parity", "fixtures")
 

@@ -17,6 +17,8 @@ from graphbasedlocaltrajectoryplanner_tpu.parallel.spatial import (
 from graphbasedlocaltrajectoryplanner_tpu.planner import pathgen as pg
 from graphbasedlocaltrajectoryplanner_tpu.ops.search import FEAS_THRESH
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lat():

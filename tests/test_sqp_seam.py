@@ -21,6 +21,8 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import qp as qpmod
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import (
     vdc_dummy)
 
+pytestmark = pytest.mark.slow
+
 MACHINES = np.array([[0.0, 5.0], [100.0, 5.0]])
 
 

@@ -11,6 +11,8 @@ from graphbasedlocaltrajectoryplanner_tpu.utils.config import (OfflineConfig,
 from graphbasedlocaltrajectoryplanner_tpu.planner.handler import OnlineHandler
 from graphbasedlocaltrajectoryplanner_tpu.testing_tools.vdc_dummy import vdc_dummy
 
+pytestmark = pytest.mark.slow
+
 
 def make_strip_track(n=220, length=900.0, width=12.0, v_max=50.0):
     """Open S-shaped strip (start and end far apart -> unclosed)."""

@@ -90,6 +90,7 @@ def test_fused_follow_matches_follow_solver(obj_dist):
                           (60.0, 30.0, 40.0, False, 0),   # brake prefix
                           (20.0, 70.0, 90.0, True, 0),    # reduced horizon
                           (20.0, 70.0, 90.0, False, 6)])  # vel-course prefix
+@pytest.mark.slow
 def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist,
                                              red, c_len):
     """velocity_stage_scenario (13 stacked rows) == 4x velocity_kernel."""
@@ -150,6 +151,7 @@ def test_scenario_stage_matches_four_kernels(vel_plan, vel_max, obj_dist,
                          [(False, 0, 90.0),    # plain
                           (False, 6, 40.0),    # vel-course prefix + close
                           (True, 0, 90.0)])    # reduced horizon (merge)
+@pytest.mark.slow
 def test_scenario_stage_sqp_matches_kernel(red, c_len, obj_dist):
     """Fleet-scale SQP (VERDICT r3 item 2): velocity_stage_scenario with
     vp_backend='sqp' == 4x velocity_kernel SQP (batched dense ADMM over the
@@ -209,6 +211,7 @@ def test_scenario_stage_sqp_matches_kernel(red, c_len, obj_dist):
     assert not bool(out["too_close"])
 
 
+@pytest.mark.slow
 def test_scenario_stage_filt_window_matches_kernel():
     """filt_window > 1 (VERDICT r3 item 6): the batched engine must smooth
     exactly like the handler kernel instead of silently diverging."""
