@@ -461,13 +461,11 @@ def assemble_action_kernel(lat: Lattice,
         hi, mid, lo = split3_bf16(table)
         kw = dict(preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)
-        # optimization barriers: XLA's algebraic simplifier would refold
-        # dot(oh,hi)+dot(oh,mid)+dot(oh,lo) into dot(oh, hi+mid+lo) whose
-        # bf16 add destroys the split (measured 1.5 m path corruption)
-        ob = jax.lax.optimization_barrier
-        rows = (ob(jnp.matmul(oh, hi, **kw))
-                + ob(jnp.matmul(oh, mid, **kw))
-                + ob(jnp.matmul(oh, lo, **kw)))
+        # the barriers INSIDE split3_bf16 are what keeps the split from
+        # being elided (hardware e2e gate: tools/pallas_parity.py); the
+        # three partial dots sum exactly in f32
+        rows = (jnp.matmul(oh, hi, **kw) + jnp.matmul(oh, mid, **kw)
+                + jnp.matmul(oh, lo, **kw))
     c_p = rows[:, :8].reshape(p_max, 4, 2)              # per-point coeffs
     start_p = rows[:, 8].astype(jnp.int32)
     npts_p = rows[:, 9].astype(jnp.int32)
