@@ -614,13 +614,19 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         with jax.named_scope("gltpl.emergency"):
             # brake-to-stop on the base trajectory with the reference's
             # hardcoded emergency vehicle constants (calc_brake_emergency.py)
-            base_traj = trajs4[em_base]                     # (P_full, 7)
+            # — em_base is 0 or 1 only, so a 2-way select beats the
+            # latency-bound per-scenario row gather under vmap
+            is0 = em_base == 0
+
+            def pick(x):
+                return jnp.where(is0, x[0], x[1])
+            base_traj = pick(trajs4)                        # (P_full, 7)
             traj_em = vp.emergency_kernel(base_traj, gg)
         trajs = jnp.concatenate([trajs4, traj_em[None]], axis=0)
-        valid = jnp.concatenate([valid4, (valid4[em_base])[None]])
-        cost5 = jnp.concatenate([cost_all, cost_all[em_base][None]])
-        h5 = jnp.concatenate([h4, h4[em_base][None]])
-        nv5 = jnp.concatenate([n_valid_full, n_valid_full[em_base][None]])
+        valid = jnp.concatenate([valid4, pick(valid4)[None]])
+        cost5 = jnp.concatenate([cost_all, pick(cost_all)[None]])
+        h5 = jnp.concatenate([h4, pick(h4)[None]])
+        nv5 = jnp.concatenate([n_valid_full, pick(n_valid_full)[None]])
     else:
         trajs, valid, cost5, h5, nv5 = (trajs4, valid4, cost_all, h4,
                                         n_valid_full)

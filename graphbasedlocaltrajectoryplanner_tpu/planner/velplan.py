@@ -95,6 +95,21 @@ def _runout_velocity(roll_vel, roll_cum, target_dist):
 
 
 
+
+def _at1(v, i):
+    """v[i] for traced scalar i without a gather (comparison-sum — per-
+    scenario scalar gathers are latency-bound on this backend, ~60 ns per
+    index under vmap; one fused elementwise pass is cheaper)."""
+    return jnp.sum(jnp.where(jnp.arange(v.shape[-1]) == i, v, 0.0),
+                   axis=-1)
+
+
+def _at_rows(v, i):
+    """v[r, i[r]] for a (R, T) table and (R,) traced indices, gather-free."""
+    return jnp.sum(jnp.where(jnp.arange(v.shape[1])[None, :] == i[:, None],
+                             v, 0.0), axis=1)
+
+
 def _sqp_m_window(cols, pref_idx, l_real, m):
     """VpSQP's m-point virtual window from a padded per-point table: rows
     ``pref_idx .. pref_idx+m-1``, clamped beyond the real slice length
@@ -552,14 +567,11 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                        [velops.MODE_BRAKE] * 4)          # (4, P)
         reach = v_decel <= vel_max
         first_reach = jnp.argmax(reach, axis=1)
-        got = jnp.take_along_axis(reach, first_reach[:, None], axis=1)[:, 0]
-        first_reach = jnp.where(got, first_reach, P - 1)
+        first_reach = jnp.where(jnp.any(reach, axis=1), first_reach, P - 1)
         pref_idx = jnp.where(prefix_active,
                              jnp.maximum(first_reach, c_len), c_len)  # (4,)
-        vel_start = jnp.where(
-            prefix_active,
-            jnp.take_along_axis(v_decel, pref_idx[:, None], axis=1)[:, 0],
-            vel_plan)
+        vel_start = jnp.where(prefix_active, _at_rows(v_decel, pref_idx),
+                              vel_plan)
 
     kappa_m = jnp.where(idx[None, :] < pref_idx[:, None], 0.0, kappa)
     kabs_m = jnp.abs(kappa_m)
@@ -577,8 +589,8 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     opp_vel_at = _runout_velocity(
         roll_vel, roll_cum,
         opp_stop_dist - ((obj_dist - safety_total + opp_stop_dist)
-                         - (s4[F, jnp.clip(n_valids[F] - 1, 0, P - 1)]
-                            - s4[F, pref_idx[F]])))
+                         - (_at1(s4[F], jnp.clip(n_valids[F] - 1, 0, P - 1))
+                            - _at1(s4[F], pref_idx[F]))))
     v_end_f = jnp.where(s_stop > s_f[-1], opp_vel_at, 0.0)
     v_control = jnp.clip(
         velops.follow_control_vel(ctrl, obj_dist, control_d,
@@ -587,8 +599,7 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
 
     # ---- normal bounds per slot (OTH:832-903) -------------------------------
     # reduced horizon: zero end velocity, forced over the last 5 m
-    spl_len = jnp.take_along_axis(
-        s4, jnp.clip(n_valids - 1, 0, P - 1)[:, None], axis=1)[:, 0]
+    spl_len = _at_rows(s4, jnp.clip(n_valids - 1, 0, P - 1))
     cum = jnp.cumsum(el[:, :-1], axis=1)
     below = cum < (spl_len[:, None] - 5.0)
     v_idx_red = jnp.argmin(below, axis=1) + 1
@@ -687,13 +698,13 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
         ego_stop_d = velops.stop_distance(v_ego_brake, el_m[F])
 
         seg1_active = (vel_start[F] > v_control) & (stop_idx >= 2)
-        idx_c_raw = jnp.argmax(v_ego_brake <= v_control)
-        idx_c_raw = jnp.where(v_ego_brake[idx_c_raw] <= v_control,
-                              idx_c_raw, stop_idx)
+        below_c = v_ego_brake <= v_control
+        idx_c_raw = jnp.argmax(below_c)
+        idx_c_raw = jnp.where(jnp.any(below_c), idx_c_raw, stop_idx)
         idx_c = jnp.where(seg1_active,
                           jnp.minimum(jnp.where(idx_c_raw == 0, stop_idx,
                                                 idx_c_raw), stop_idx), 0)
-        vx_control_start = jnp.where(seg1_active, v_ego_brake[idx_c],
+        vx_control_start = jnp.where(seg1_active, _at1(v_ego_brake, idx_c),
                                      vel_start[F])
 
         el_seg2 = jnp.where(idx < stop_idx, el_m[F], 0.0)
@@ -718,7 +729,8 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                                [velops.MODE_BWD])[0])
 
         # ---- follow assembly ----------------------------------------------
-        follow_bound = jnp.abs(v_seg2[idx_c] - vx_control_start) <= 1.0
+        follow_bound = jnp.abs(_at1(v_seg2, idx_c)
+                               - vx_control_start) <= 1.0
         follow_bound &= ~((~seg1_active) & (stop_idx < 2))
         vx_follow = jnp.where(idx < idx_c, v_ego_brake, v_seg2)
         vx_follow = jnp.where(idx > stop_idx, 0.0, vx_follow)
@@ -732,7 +744,7 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     vx_normal = jnp.where(idx[None, :] >= v_idx[:, None], 0.0, vx_normal)
     degenerate = (v_idx - pref_idx) <= 1                 # (4,)
     vx_normal = jnp.where(degenerate[:, None], 0.0, vx_normal)
-    at_pref = jnp.take_along_axis(vx_normal, pref_idx[:, None], axis=1)[:, 0]
+    at_pref = _at_rows(vx_normal, pref_idx)
     normal_bound = jnp.abs(at_pref - vel_start) < v_max_offset
     normal_bound = jnp.where(degenerate, False, normal_bound)
 
