@@ -83,6 +83,41 @@ def _walk_flat(bp, goal_node, h_eff, interpret=False):
     return jnp.transpose(out, (0, 2, 1)).reshape(Rp, Hp1)[:R]
 
 
+def make_backtrace_walk(interpret: bool = None):
+    """Backpointer walk ALONE (goal node supplied by the caller): returns
+    ``fn(bp (R, H+1, N), goal_node (R,), h_eff (R,)) -> nodes (R, H+1)``.
+    Used by the batched engine, which computes the goal argmin with one
+    tiny combined (slot, horizon) one-hot contraction instead of selecting
+    the full best/vg tensors per output slot (parallel/scenario.py).
+    Same custom_vmap row-flattening as :func:`make_backtrace_goal`."""
+    if interpret is None:
+        use_pallas = _on_tpu()
+        interpret = False
+    else:
+        use_pallas = True
+
+    @jax.custom_batching.custom_vmap
+    def walk(bp, goal_node, h_eff):
+        if use_pallas:
+            return _walk_flat(bp, goal_node.astype(jnp.int32),
+                              h_eff.astype(jnp.int32), interpret=interpret)
+        return jax.vmap(srch.backtrace)(bp, h_eff.astype(jnp.int32),
+                                        goal_node.astype(jnp.int32))
+
+    @walk.def_vmap
+    def _walk_vmap(axis_size, in_batched, bp, goal_node, h_eff):
+        def flat(x, b):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((axis_size * x.shape[1],) + x.shape[2:])
+        R = bp.shape[1] if in_batched[0] else bp.shape[0]
+        nodes = walk(*[flat(x, b) for x, b in
+                       zip((bp, goal_node, h_eff), in_batched)])
+        return nodes.reshape(axis_size, R, nodes.shape[-1]), True
+
+    return walk
+
+
 def make_backtrace_goal(interpret: bool = None):
     """Row-stacked goal-select + backtrace with backend dispatch.
 

@@ -466,20 +466,26 @@ def scenario_tick(lat: Lattice, scen: Scenario,
 
     # ---- backtrace + assembly per output slot ------------------------------
     with jax.named_scope("gltpl.backtrace"):
-        # slot-select via one-hot (gathers are latency-bound on this
-        # backend), then one row-stacked goal-select + backpointer walk —
-        # the Pallas lane-parallel kernel on TPU (ops/pallas_backtrace.py)
+        # goal costs via ONE tiny combined (source-slot, horizon) one-hot
+        # contraction — only the backpointer tables need the full per-slot
+        # selection (the walk reads every row); the walk itself is the
+        # Pallas lane-parallel kernel on TPU (ops/pallas_backtrace.py)
         from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_backtrace \
-            import make_backtrace_goal
+            import make_backtrace_walk
+        Hp1 = H + 1
         ohs = (src4[:, None] == jnp.arange(pg.N_SLOTS)[None, :])
-        best_sel = jnp.einsum('ks,shn->khn', ohs.astype(out["best"].dtype),
-                              out["best"])
+        oh_h = (h_safe[:, None] == jnp.arange(Hp1)[None, :])
+        oh2 = (ohs[:, :, None] & oh_h[:, None, :]) \
+            .reshape(pg.N_SLOTS, pg.N_SLOTS * Hp1).astype(out["best"].dtype)
+        bv = (out["best"] + out["vg"]).reshape(pg.N_SLOTS * Hp1, N)
+        goal_tot = oh2 @ bv                              # (4, N) exact select
+        goal_node = jnp.argmin(goal_tot, axis=-1).astype(jnp.int32)
+        cost_all = jnp.sum(
+            jnp.where(jnp.arange(N)[None, :] == goal_node[:, None],
+                      goal_tot, 0.0), axis=1)
         bp_sel = jnp.einsum('ks,shn->khn', ohs.astype(jnp.int32),
                             out["bp"]).astype(jnp.int32)
-        vg_sel = jnp.einsum('ks,shn->khn', ohs.astype(out["vg"].dtype),
-                            out["vg"])
-        nodes4, cost_all = make_backtrace_goal()(best_sel, bp_sel, vg_sel,
-                                                 h_safe)
+        nodes4 = make_backtrace_walk()(bp_sel, goal_node, h_safe)
         end_nodes = jnp.take_along_axis(nodes4, h_safe[:, None],
                                         axis=1)[:, 0]
 
@@ -529,10 +535,13 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         # repeated-end-sample padding invariant the velocity scans and the
         # follow-path projection rely on; zero rows from the slice tails
         # would alias position (0, 0))
-        last_row = jnp.take_along_axis(
-            paths_full,
-            jnp.clip(n_valid_full - 1, 0, P_full - 1)[:, None, None]
-            .astype(jnp.int32) * jnp.ones((1, 1, 5), jnp.int32), axis=1)
+        # last real row via comparison-sum (a per-(scenario, slot) row
+        # gather is latency-bound under vmap)
+        at_last = (idxf[None, :]
+                   == jnp.clip(n_valid_full - 1, 0, P_full - 1)[:, None])
+        last_row = jnp.sum(
+            jnp.where(at_last[:, :, None], paths_full, 0.0), axis=1,
+            keepdims=True)
         paths_full = jnp.where(
             (idxf[None, :] >= n_valid_full[:, None])[:, :, None],
             last_row, paths_full)
