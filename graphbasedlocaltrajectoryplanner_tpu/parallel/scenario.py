@@ -256,13 +256,20 @@ def _select_obstacle(lat: Lattice, scen: Scenario):
     fwd_masked = jnp.where(ok, fwd, lat.L + 1)
     key_slot = jnp.argmin(fwd_masked).astype(jnp.int32)
     obs_found = jnp.any(ok)
-    # vehicle slot = first active slot of the winning owner
-    first = (owner == owner[key_slot]) & scen.obj_active
+    # gather-free scalar/row lookups (per-scenario gathers are latency-
+    # bound under vmap): comparison-sums for the scalars, an exact one-hot
+    # layer select for the node table
+    key_owner = jnp.sum(jnp.where(sl == key_slot, owner, 0))
+    first = (owner == key_owner) & scen.obj_active
     obs_idx = jnp.argmax(first).astype(jnp.int32)
-    obs_layer = obj_layer[key_slot]
-    d2 = jnp.sum((lat.node_pos[obs_layer] - scen.obj_pos[obs_idx]) ** 2,
-                 axis=-1)
-    d2 = jnp.where(lat.node_valid[obs_layer], d2, jnp.inf)
+    obs_layer = jnp.sum(jnp.where(sl == key_slot, obj_layer, 0))
+    oh_l = (jnp.arange(lat.L) == obs_layer).astype(lat.node_pos.dtype)
+    npos = (oh_l @ lat.node_pos.reshape(lat.L, -1)).reshape(lat.N, 2)
+    nval = (oh_l @ lat.node_valid.astype(lat.node_pos.dtype)) > 0.5
+    opos = jnp.sum(jnp.where(sl[:, None] == obs_idx, scen.obj_pos, 0.0),
+                   axis=0)
+    d2 = jnp.sum((npos - opos) ** 2, axis=-1)
+    d2 = jnp.where(nval, d2, jnp.inf)
     obs_node = jnp.argmin(d2).astype(jnp.int32)
     return dict(obs_idx=obs_idx, obs_layer=obs_layer, obs_node=obs_node,
                 obs_found=obs_found)
@@ -556,8 +563,12 @@ def scenario_tick(lat: Lattice, scen: Scenario,
 
     # ---- velocity stage over the spliced paths -----------------------------
     gg = jnp.broadcast_to(jnp.asarray(gg_lim, jnp.float32), (P_full, 2))
-    c_obj_pos = scen.obj_pos[follow_obj_idx]
-    c_obj_vel = scen.obj_vel[follow_obj_idx]
+    slot_ids = jnp.arange(scen.obj_pos.shape[0])
+    c_obj_pos = jnp.sum(
+        jnp.where(slot_ids[:, None] == follow_obj_idx, scen.obj_pos, 0.0),
+        axis=0)
+    c_obj_vel = jnp.sum(jnp.where(slot_ids == follow_obj_idx,
+                                  scen.obj_vel, 0.0))
     follow_target = obs_found | obj_besides
     opp_stop_dist, roll_vel, _, roll_cum = vp.opponent_summary(
         lat.glob_rl, lat.glob_el, c_obj_pos, c_obj_vel,
@@ -565,10 +576,15 @@ def scenario_tick(lat: Lattice, scen: Scenario,
 
     with jax.named_scope("gltpl.velocity"):
         # raceline end velocity per slot, reduced by the end node's lateral
-        # displacement from the raceline (OTH:838-867)
-        end_layers = out["win_layers"][h_safe]              # (4,)
-        v_rl = lat.vel_rl[end_layers]                       # (4,)
-        rl_off = jnp.abs(end_nodes - lat.rl_idx[end_layers]).astype(
+        # displacement from the raceline (OTH:838-867); table rows via
+        # comparison-sums instead of per-scenario gathers
+        end_layers = jnp.sum(
+            jnp.where(jnp.arange(H + 1)[None, :] == h_safe[:, None],
+                      out["win_layers"][None, :], 0), axis=1)      # (4,)
+        at_end = jnp.arange(L)[None, :] == end_layers[:, None]     # (4, L)
+        v_rl = jnp.sum(jnp.where(at_end, lat.vel_rl[None, :], 0.0), axis=1)
+        rl_end = jnp.sum(jnp.where(at_end, lat.rl_idx[None, :], 0), axis=1)
+        rl_off = jnp.abs(end_nodes - rl_end).astype(
             jnp.float32) * lat.lat_offset
         v_end_rl4 = v_rl - jnp.minimum(
             v_rl * lat.vel_decrease_lat * rl_off, v_rl)
