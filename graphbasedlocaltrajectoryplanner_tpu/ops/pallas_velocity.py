@@ -253,3 +253,162 @@ def make_fused_vel_scan(interpret: bool = None, physics: tuple = None):
         return out.reshape(axis_size, R, out.shape[-1]), True
 
     return fused
+
+
+def _kernel_cgg(mach_ref, par_ref, mode_ref, vinit_ref,
+                k1_ref, k2_ref, ds_ref, vl_ref, out_ref, v_carry,
+                *, M, exp_one):
+    """Constant-gg variant of :func:`_kernel`: the four per-step gg columns
+    collapse to two SMEM scalars (par_ref[0, 4:6]) — the batched engine's
+    local gg is a config constant, so streaming (R, T) tiles of a constant
+    was half the velocity stage's input traffic."""
+    exp = par_ref[0, 0]
+    inv_exp = par_ref[0, 1]
+    drag_coeff = par_ref[0, 2]
+    m_veh = par_ref[0, 3]
+    axm = par_ref[0, 4]
+    aym = par_ref[0, 5]
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        v_carry[:, :] = vinit_ref[0, 0]
+
+    mode = mode_ref[0, 0]
+    is_fwd = mode == 0
+    is_brake = mode == 1
+
+    mxs = [mach_ref[m, 0] for m in range(M)]
+    mfs = [mach_ref[m, 1] for m in range(M)]
+
+    def interp_m(v):
+        res = jnp.full_like(v, mfs[M - 1])
+        for m in range(M - 1):
+            tt = (v - mxs[m]) / jnp.maximum(mxs[m + 1] - mxs[m], 1e-30)
+            res = jnp.where((v >= mxs[m]) & (v < mxs[m + 1]),
+                            mfs[m] + tt * (mfs[m + 1] - mfs[m]), res)
+        return jnp.where(v < mxs[0], mfs[0], res)
+
+    def ax_tires(v, k_abs):
+        ay_used = v * v * k_abs
+        frac = jnp.clip(ay_used / jnp.maximum(aym, 1e-9), 0.0, 1.0)
+        if exp_one:
+            return axm * (1.0 - frac)
+        radicand = 1.0 - jnp.power(frac, exp)
+        return axm * jnp.power(jnp.maximum(radicand, 0.0), inv_exp)
+
+    v = v_carry[:, :]
+    for t in range(TC):
+        k1 = k1_ref[0, t]
+        d_ = ds_ref[0, t]
+        vl = vl_ref[0, t]
+
+        a_t = ax_tires(v, k1)
+        drag = v * v * drag_coeff / m_veh
+        a_m = interp_m(v)
+        acc = jnp.minimum(a_t, a_m) - drag
+        v_f = jnp.minimum(
+            jnp.sqrt(jnp.maximum(v * v + 2.0 * acc * d_, 0.0)), vl)
+        dec = a_t + drag
+        v_b = jnp.sqrt(jnp.maximum(v * v - 2.0 * dec * d_, 0.0))
+        v_est = jnp.sqrt(v * v + 2.0 * dec * d_)
+        a_t2 = ax_tires(v_est, k2_ref[0, t])
+        dec2 = a_t2 + v_est * v_est * drag_coeff / m_veh
+        v_r = jnp.minimum(
+            jnp.sqrt(jnp.maximum(v * v + 2.0 * jnp.minimum(dec, dec2) * d_,
+                                 0.0)), vl)
+        v = jnp.where(is_fwd, v_f, jnp.where(is_brake, v_b, v_r))
+        out_ref[0, t] = v
+    v_carry[:, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exp_one"))
+def _fused_vel_scan_flat_cgg(k1, k2, ds, v_lim, v_init, mode,
+                             machines, params, exp_one=False,
+                             interpret=False):
+    """(R, T) inputs (no gg streams) -> (R, T+1) profile."""
+    R, T = k1.shape
+    M = machines.shape[0]
+    Rp = int(np.ceil(R / ROWS_BLK) * ROWS_BLK)
+    Tp = int(np.ceil(T / TC) * TC)
+    G = Rp // ROWS_BLK
+
+    def pad(x, fill_r, fill_t=None):
+        if Rp != R:
+            x = jnp.concatenate(
+                [x, jnp.full((Rp - R,) + x.shape[1:], fill_r, x.dtype)],
+                axis=0)
+        if fill_t is not None and Tp != T:
+            x = jnp.concatenate(
+                [x, jnp.full((Rp, Tp - T), fill_t, x.dtype)], axis=1)
+        return x
+
+    args = [_to_tiles(pad(a, 0.0, ft), G, Tp)
+            for a, ft in ((k1, 0.0), (k2, 0.0), (ds, 0.0),
+                          (v_lim, jnp.inf))]
+    mode_t = pad(mode.astype(jnp.int32), 1).reshape(G, 1, SUBS, LANES)
+    vinit_t = pad(v_init, 0.0).reshape(G, 1, SUBS, LANES)
+
+    row_spec = pl.BlockSpec((1, TC, SUBS, LANES), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1, SUBS, LANES), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel_cgg, M=M, exp_one=exp_one),
+        out_shape=jax.ShapeDtypeStruct((G, Tp, SUBS, LANES), k1.dtype),
+        grid=(G, Tp // TC),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  scalar_spec, scalar_spec] + [row_spec] * 4,
+        out_specs=pl.BlockSpec((1, TC, SUBS, LANES),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SUBS, LANES), k1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(machines, params, mode_t, vinit_t, *args)
+    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(Rp, Tp)[:R, :T]
+    return jnp.concatenate([v_init[:R, None], out], axis=1)
+
+
+def make_fused_vel_scan_cgg(physics: tuple, gg: tuple,
+                            interpret: bool = None):
+    """Constant-gg factory: ``fn(k1, k2, ds, v_lim, v_init, mode,
+    machines) -> (R, T+1)`` with the local gg (ax, ay) and physics folded
+    in as compile-time SMEM constants.  Same custom_vmap row-flattening as
+    :func:`make_fused_vel_scan`."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    exp_s, drag_s, mveh_s = (float(physics[0]), float(physics[1]),
+                             float(physics[2]))
+    ax_s, ay_s = float(gg[0]), float(gg[1])
+    params = np.array([[exp_s, 1.0 / exp_s, drag_s, mveh_s, ax_s, ay_s]],
+                      np.float32)
+
+    def _flatten(axis_size, in_batched, row_args):
+        def flat(x, b):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((axis_size * x.shape[1],) + x.shape[2:])
+        R = next(x.shape[1] if b else x.shape[0]
+                 for x, b in zip(row_args, in_batched))
+        return R, [flat(x, b) for x, b in zip(row_args, in_batched)]
+
+    @jax.custom_batching.custom_vmap
+    def fused_c(k1, k2, ds, v_lim, v_init, mode, machines):
+        return _fused_vel_scan_flat_cgg(
+            k1, k2, ds, v_lim, jnp.asarray(v_init, k1.dtype), mode,
+            machines, jnp.asarray(params),
+            exp_one=(exp_s == 1.0), interpret=interpret)
+
+    @fused_c.def_vmap
+    def _fused_c_vmap(axis_size, in_batched, *batched_args):
+        if in_batched[6]:
+            raise NotImplementedError("batched machines unsupported")
+        R, args = _flatten(axis_size, in_batched[:6], batched_args[:6])
+        out = fused_c(*args, batched_args[6])
+        return out.reshape(axis_size, R, out.shape[-1]), True
+
+    return fused_c

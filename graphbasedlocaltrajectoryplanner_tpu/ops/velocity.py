@@ -271,6 +271,36 @@ def stacked_vel_scan_auto(k1, axm1, aym1, k2, axm2, aym2, ds, v_lim, v_init,
                             drag_coeff, m_veh, unroll=unroll)
 
 
+_PALLAS_VEL_CGG = {}
+
+
+def stacked_vel_scan_cgg_auto(k1, k2, ds, v_lim, v_init, mode, machines,
+                              dyn_model_exp, drag_coeff, m_veh,
+                              gg_ax, gg_ay, unroll: int = 16):
+    """Constant-gg backend dispatch for the stacked velocity recurrences:
+    the batched engine's local gg is a config constant, so the four (R, T)
+    gg streams of :func:`stacked_vel_scan_auto` collapse to two SMEM
+    scalars on TPU (ops/pallas_velocity.make_fused_vel_scan_cgg — half the
+    kernel input traffic); elsewhere the constants broadcast back into the
+    ``lax.scan`` formulation.  All parameters must be static floats."""
+    if jax.default_backend() == "tpu":
+        key = (float(dyn_model_exp), float(drag_coeff), float(m_veh),
+               float(gg_ax), float(gg_ay))
+        if key not in _PALLAS_VEL_CGG:
+            from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity \
+                import make_fused_vel_scan_cgg
+            _PALLAS_VEL_CGG[key] = make_fused_vel_scan_cgg(
+                key[:3], key[3:], interpret=False)
+        return _PALLAS_VEL_CGG[key](k1, k2, ds, v_lim,
+                                    jnp.asarray(v_init, k1.dtype),
+                                    jnp.asarray(mode, jnp.int32), machines)
+    ax = jnp.full_like(k1, gg_ax)
+    ay = jnp.full_like(k1, gg_ay)
+    return stacked_vel_scan(k1, ax, ay, k2, ax, ay, ds, v_lim, v_init,
+                            jnp.asarray(mode, jnp.int32), machines,
+                            dyn_model_exp, drag_coeff, m_veh, unroll=unroll)
+
+
 def calc_vel_profile_brake_auto(kappa, el_lengths, loc_gg, v_start,
                                 dyn_model_exp=1.0, drag_coeff=0.85,
                                 m_veh=1000.0):

@@ -622,7 +622,8 @@ def scenario_tick(lat: Lattice, scen: Scenario,
             tire_end_idx=tire_end_idx,
             tire_end_mps2=tire_end_mps2,
             sqp_m=sqp_m,
-            sqp_step=sqp_step)
+            sqp_step=sqp_step,
+            const_gg=(float(gg_lim[0]), float(gg_lim[1])))
         trajs4 = o["trajs"]
         # broken velocity constraints remove overtake actions; follow /
         # straight are always retained (no backup state in the batched

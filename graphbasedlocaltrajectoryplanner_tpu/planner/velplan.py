@@ -472,7 +472,7 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
 
 @partial(jax.jit, static_argnames=("control_type", "follow_slot",
                                    "dyn_model_exp", "filt_window",
-                                   "vp_backend", "sqp_m"))
+                                   "vp_backend", "sqp_m", "const_gg"))
 def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             n_valids,     # (4,)
                             gg,           # (P, 2) shared local gg (unscaled)
@@ -496,7 +496,8 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                             tire_end_idx=0,
                             tire_end_mps2=5.0,
                             sqp_m: int = None,
-                            sqp_step=2.5):
+                            sqp_step=2.5,
+                            const_gg: tuple = None):
     """Slot-specialized velocity stage for the batched scenario engine —
     the same math as 4x :func:`velocity_kernel` (with
     ``gg_scale=old_gg_scale=1``) but the follow solver runs ONLY for the
@@ -529,28 +530,60 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
     INF = jnp.full((P - 1,), jnp.inf)
     ctrl = {"c_p": ctrl_cp, "k_d": ctrl_kd, "k_p": ctrl_kp, "tan_w": ctrl_tanw}
 
-    def _lvl(rows, mode):
-        k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
-                                              zip(*rows)]
-        return velops.stacked_vel_scan_auto(
-            k1, a1, y1, k2, a2, y2, d_, vl, vi, jnp.asarray(mode, jnp.int32),
-            machines, dyn_model_exp, drag_coeff, m_veh)
+    # constant-gg fast path (the engine's local gg is a config constant):
+    # the 4 per-row gg streams disappear and the Pallas kernel reads the
+    # constants from SMEM — half the velocity stage's input traffic
+    # (requires static physics; falls back when traced)
+    use_cgg = const_gg is not None and vp_backend != "sqp"
+    if use_cgg:
+        try:
+            phys = (float(dyn_model_exp), float(drag_coeff), float(m_veh))
+        except Exception:
+            use_cgg = False
 
-    gcol0, gcol1 = gg[:-1, 0], gg[:-1, 1]
+    if use_cgg:
+        def _lvl(rows, mode):
+            k1, k2, d_, vl, vi = [jnp.stack(x) for x in zip(*rows)]
+            return velops.stacked_vel_scan_cgg_auto(
+                k1, k2, d_, vl, vi, jnp.asarray(mode, jnp.int32), machines,
+                phys[0], phys[1], phys[2],
+                float(const_gg[0]), float(const_gg[1]))
 
-    def _brake_row(k_abs, e, v0):
-        return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
-                e[:-1], INF, v0)
+        def _brake_row(k_abs, e, v0):
+            return (k_abs[:-1], k_abs[:-1], e[:-1], INF, v0)
 
-    def _fwd_row(k_abs, e, v_bound, v0):
-        return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
-                e[:-1], v_bound[1:], jnp.minimum(v_bound[0], v0))
+        def _fwd_row(k_abs, e, v_bound, v0):
+            return (k_abs[:-1], k_abs[:-1], e[:-1], v_bound[1:],
+                    jnp.minimum(v_bound[0], v0))
 
-    def _bwd_row(k_abs, e, v_f):
-        return (jnp.flip(k_abs[1:]), jnp.flip(gg[1:, 0]), jnp.flip(gg[1:, 1]),
-                jnp.flip(k_abs[:-1]), jnp.flip(gg[:-1, 0]),
-                jnp.flip(gg[:-1, 1]), jnp.flip(e[:-1]), jnp.flip(v_f[:-1]),
-                v_f[-1])
+        def _bwd_row(k_abs, e, v_f):
+            return (jnp.flip(k_abs[1:]), jnp.flip(k_abs[:-1]),
+                    jnp.flip(e[:-1]), jnp.flip(v_f[:-1]), v_f[-1])
+    else:
+        def _lvl(rows, mode):
+            k1, a1, y1, k2, a2, y2, d_, vl, vi = [jnp.stack(x) for x in
+                                                  zip(*rows)]
+            return velops.stacked_vel_scan_auto(
+                k1, a1, y1, k2, a2, y2, d_, vl, vi,
+                jnp.asarray(mode, jnp.int32),
+                machines, dyn_model_exp, drag_coeff, m_veh)
+
+        gcol0, gcol1 = gg[:-1, 0], gg[:-1, 1]
+
+        def _brake_row(k_abs, e, v0):
+            return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
+                    e[:-1], INF, v0)
+
+        def _fwd_row(k_abs, e, v_bound, v0):
+            return (k_abs[:-1], gcol0, gcol1, k_abs[:-1], gcol0, gcol1,
+                    e[:-1], v_bound[1:], jnp.minimum(v_bound[0], v0))
+
+        def _bwd_row(k_abs, e, v_f):
+            return (jnp.flip(k_abs[1:]), jnp.flip(gg[1:, 0]),
+                    jnp.flip(gg[1:, 1]),
+                    jnp.flip(k_abs[:-1]), jnp.flip(gg[:-1, 0]),
+                    jnp.flip(gg[:-1, 1]), jnp.flip(e[:-1]),
+                    jnp.flip(v_f[:-1]), v_f[-1])
 
     # ---- level 0: brake prefix per slot ------------------------------------
     if vp_backend == "sqp":

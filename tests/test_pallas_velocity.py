@@ -120,3 +120,61 @@ def test_fused_static_physics_matches():
                                 modes, MACHINES))(jnp.stack([kappa] * 2))
     np.testing.assert_allclose(np.asarray(outb[1]), np.asarray(out),
                                atol=1e-5)
+
+
+def test_fused_cgg_matches_scan():
+    """Constant-gg kernel variant (gg folded into SMEM scalars) vs the
+    lax.scan reference with the constants broadcast."""
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity import (
+        make_fused_vel_scan_cgg)
+    rng = np.random.default_rng(4)
+    R, T = 13, 447
+    modes = np.array([0, 1, 2] * 4 + [0])
+    kappa, ax, ay, ds, vlim, vinit, modes = _mk_rows(rng, R, T, modes)
+    gg = (8.0, 9.5)
+    axc = jnp.full((R, T), gg[0]); ayc = jnp.full((R, T), gg[1])
+    ref = velops.stacked_vel_scan(kappa, axc, ayc, kappa, axc, ayc, ds,
+                                  vlim, vinit, modes, MACHINES,
+                                  1.0, 0.85, 1000.0)
+    f = make_fused_vel_scan_cgg((1.0, 0.85, 1000.0), gg, interpret=True)
+    out = f(kappa, kappa, ds, vlim, vinit, modes, MACHINES)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_stage_const_gg_matches_default():
+    """velocity_stage_scenario(const_gg=...) must equal the streamed-gg
+    path (CPU fallback exercises the same dispatch the engine uses)."""
+    import numpy as _np
+    from graphbasedlocaltrajectoryplanner_tpu.planner import velplan as vp
+    P = 160
+    rng = _np.random.default_rng(2)
+    paths = []
+    for sdd in range(4):
+        kappa = rng.normal(0.0, 0.01, P).astype(_np.float32)
+        el = _np.full((P,), 2.5, _np.float32); el[110 + 5 * sdd - 1:] = 0.0
+        psi = _np.cumsum(kappa * el).astype(_np.float32)
+        x = _np.cumsum(el * _np.cos(psi)); y = _np.cumsum(el * _np.sin(psi))
+        paths.append(_np.column_stack([x, y, psi, kappa, el]))
+    paths = _np.asarray(paths, _np.float32)
+    n_valids = _np.array([110, 115, 120, 125], _np.int32)
+    gg = _np.full((P, 2), 8.0, _np.float32)
+    mach = _np.array([[0.0, 5.0], [100.0, 5.0]], _np.float32)
+    roll_vel = _np.full((128,), 15.0, _np.float32)
+    roll_cum = _np.cumsum(_np.full((128,), 3.0)).astype(_np.float32)
+    args = (jnp.asarray(paths), jnp.asarray(n_valids), jnp.asarray(gg),
+            jnp.zeros((P,), jnp.float32), jnp.int32(0),
+            jnp.float32(20.0), jnp.float32(20.0), jnp.float32(70.0),
+            jnp.asarray(mach), jnp.float32(0.1),
+            jnp.asarray([28.0, 25.0, 27.0, 26.0], jnp.float32),
+            jnp.zeros((4,), bool),
+            jnp.float32(90.0), jnp.float32(12.0), jnp.float32(30.0),
+            jnp.float32(25.0), jnp.asarray(roll_vel), jnp.asarray(roll_cum),
+            jnp.float32(4.7), jnp.float32(1.25), jnp.float32(0.025),
+            jnp.float32(0.2), jnp.float32(15.0), 1.0, 0.85, 1000.0)
+    a = vp.velocity_stage_scenario(*args, follow_slot=1)
+    b = vp.velocity_stage_scenario(*args, follow_slot=1,
+                                   const_gg=(8.0, 8.0))
+    np.testing.assert_allclose(np.asarray(b["trajs"]),
+                               np.asarray(a["trajs"]), rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b["vel_bound"]),
+                                  np.asarray(a["vel_bound"]))

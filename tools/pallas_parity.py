@@ -123,8 +123,16 @@ def check_velocity():
         kappa, gg, gg, kappa, gg, gg, ds, vlim, vinit, modes,
         machines, 1.0, 0.85, 1000.0)
     d = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
-    return dict(max_abs_diff=d, n=int(np.asarray(ref).size),
-                ok=bool(d <= 2e-3))
+    # constant-gg Mosaic variant (the batched engine's production path)
+    from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_velocity import (
+        make_fused_vel_scan_cgg)
+    out_c = make_fused_vel_scan_cgg((1.0, 0.85, 1000.0), (10.0, 10.0),
+                                    interpret=False)(
+        kappa, kappa, ds, vlim, vinit, modes, machines)
+    d_c = float(np.max(np.abs(np.asarray(out_c) - np.asarray(ref))))
+    return dict(max_abs_diff=d, max_abs_diff_cgg=d_c,
+                n=int(np.asarray(ref).size),
+                ok=bool(d <= 2e-3 and d_c <= 2e-3))
 
 
 def check_backtrace():
