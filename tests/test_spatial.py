@@ -146,6 +146,38 @@ def test_dp_mp_composed_mesh(lat):
     assert int(stats["fleet_actions"]) == n_valid_total
 
 
+def test_dp_mp_composed_per_scenario_zones(lat):
+    """Composed (dp, mp) mesh with PER-SCENARIO zone masks: the spatial
+    window DP must consume each fleet member's own zone table (the r2
+    per-scenario-zones semantics compose with the r4 2-D mesh)."""
+    devs = jax.devices()
+    mesh2 = jax.sharding.Mesh(np.array(devs).reshape(4, 2), ("dp", "mp"))
+    scen = sc.random_scenarios(lat, 8, seed=13, n_objects=0)
+    rng = np.random.default_rng(4)
+    zb = np.zeros((8, lat.L, lat.N), bool)
+    for b in range(4, 8):       # half the fleet gets a blocked layer
+        lay = int((int(scen.start_layer[b]) + 4) % lat.L)
+        zb[b, lay, : lat.N // 2] = True
+    zone_block = jnp.asarray(zb)
+
+    ref = sc.make_batched_tick(lat, use_pallas=False,
+                               zone_block=zone_block)(scen)
+    tick_sp = sc.make_sharded_tick(lat, mesh2, use_pallas=False,
+                                   spatial_axis="mp", zone_block=zone_block)
+    spec = jax.sharding.NamedSharding(mesh2,
+                                      jax.sharding.PartitionSpec("dp"))
+    scen_sh = jax.tree_util.tree_map(lambda x: jax.device_put(x, spec),
+                                     scen)
+    res, stats = tick_sp(scen_sh)
+    np.testing.assert_array_equal(np.asarray(res["valid"]),
+                                  np.asarray(ref["valid"]))
+    np.testing.assert_allclose(np.asarray(res["cost"]),
+                               np.asarray(ref["cost"]), rtol=1e-4)
+    # the zones really bit: zoned and unzoned fleet halves diverge
+    assert not np.allclose(np.asarray(ref["cost"][:4]),
+                           np.asarray(ref["cost"][4:]))
+
+
 def test_spatial_unclosed_track_end(mesh):
     """Open-track lattice with the window crossing the track end: the
     spatial DP's off-end INF masking (_local_masked_slabs open branch) and
