@@ -45,6 +45,14 @@ def admm_qp(P, q, A, l, u, iters: int = 60, rho=1.0,
     rho = jnp.broadcast_to(jnp.asarray(rho, q.dtype), (m,))
     K = P + sigma * jnp.eye(n) + (A.T * rho[None, :]) @ A
     K_cho = jax.scipy.linalg.cho_factor(K)
+    # explicit inverse instead of per-iteration cho_solve: batched
+    # triangular solves are sequential-substitution-bound on TPU (94% of
+    # the SQP fleet tick was triangular_solve before this) — two solves
+    # against the identity ONCE, then every iteration's KKT solve is an
+    # MXU matmul.  K is regularized (sigma + rho-weighted A'A), so the
+    # inverse is well-conditioned; KKT-residual goldens pin the accuracy
+    # (tests/test_qp_kkt.py).
+    K_inv = jax.scipy.linalg.cho_solve(K_cho, jnp.eye(n))
 
     x = jnp.zeros((n,)) if x0 is None else x0
     z = A @ x
@@ -53,7 +61,7 @@ def admm_qp(P, q, A, l, u, iters: int = 60, rho=1.0,
     def step(carry, _):
         x, z, y = carry
         rhs = sigma * x - q + A.T @ (rho * z - y)
-        x_t = jax.scipy.linalg.cho_solve(K_cho, rhs)
+        x_t = K_inv @ rhs
         z_t = A @ x_t
         x_new = alpha * x_t + (1 - alpha) * x
         z_new = jnp.clip(alpha * z_t + (1 - alpha) * z + y / rho, l, u)
