@@ -823,11 +823,26 @@ class OnlineHandler:
                         path_pad = self._pad_path(bpp)
                         gg_pad = np.ones((self.P, 2), np.float32) * 5.0
                         gg_pad[:nb] = bgg
-                        traj = vp.brake_on_backup_kernel(
-                            jnp.asarray(path_pad), jnp.int32(nb),
-                            jnp.asarray(gg_pad), jnp.asarray(vc_pad),
-                            jnp.int32(c_len), jnp.float32(vel_plan),
-                            self.dyn_model_exp, self.drag_coeff, self.m_veh)
+                        if self.vp_backend == "sqp":
+                            # the reference's SQP ladder brakes via the QP
+                            # with a 1 m/s cap (VpSQP.calc_vel_brake_em,
+                            # OTH:973-984), not the fb brake profile
+                            traj = vp.brake_em_sqp_kernel(
+                                jnp.asarray(path_pad), jnp.int32(nb),
+                                jnp.asarray(gg_pad), jnp.asarray(vc_pad),
+                                jnp.int32(c_len), jnp.float32(vel_plan),
+                                jnp.asarray(machines),
+                                jnp.float32(lat.veh_turn),
+                                jnp.float32(tire_end_mps2),
+                                self.drag_coeff, self.m_veh,
+                                sqp_m=int(cfg.nmbr_export_points))
+                        else:
+                            traj = vp.brake_on_backup_kernel(
+                                jnp.asarray(path_pad), jnp.int32(nb),
+                                jnp.asarray(gg_pad), jnp.asarray(vc_pad),
+                                jnp.int32(c_len), jnp.float32(vel_plan),
+                                self.dyn_model_exp, self.drag_coeff,
+                                self.m_veh)
                         new_bp[action_id].append(np.asarray(traj)[:nb])
                 else:
                     LOG.warning("Removed action set, since vel constraints "

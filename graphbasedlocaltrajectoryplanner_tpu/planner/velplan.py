@@ -843,6 +843,54 @@ def brake_on_backup_kernel(path,          # (P, 5) backup path cut at position
                              path[:, 3], vx_full, ax_f])
 
 
+@partial(jax.jit, static_argnames=("sqp_m",))
+def brake_em_sqp_kernel(path,          # (P, 5) backup path cut at position
+                        n_valid,
+                        gg,            # (P, 2) unscaled
+                        vel_course,    # (P,) padded
+                        c_len,
+                        vel_plan,
+                        machines,
+                        veh_turn, tire_end_mps2,
+                        drag_coeff, m_veh,
+                        sqp_m: int = None):
+    """SQP-mode recursive-infeasibility fallback: the reference's
+    ``VpSQP.calc_vel_brake_em`` (VpSQP.py:443-520) invoked by the handler's
+    backup ladder (OTH:973-984) — the m-point window from the
+    delay-compensation cut solved as a QP with a 1 m/s velocity cap, the
+    conservative terminal velocity, and a linear-deceleration initial
+    guess; no smoothing (OTH:985-991).  The fb ladder uses
+    :func:`brake_on_backup_kernel` instead."""
+    from graphbasedlocaltrajectoryplanner_tpu.ops.qp import qp_vel_profile
+    P = path.shape[0]
+    idx = jnp.arange(P)
+    kappa = path[:, 3]
+    el = path[:, 4]
+    m = P if sqp_m is None else min(sqp_m, P)
+    idx_m = jnp.arange(m)
+    cols = jnp.stack([kappa, el, gg[:, 0], gg[:, 1]], axis=1)
+    win = _sqp_m_window(cols, c_len, n_valid - c_len, m)
+    v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
+    # linear v_start -> 1 m/s deceleration guess (VpSQP:496-498)
+    x0 = vel_plan + idx_m.astype(jnp.float32) * (1.0 - vel_plan) / m
+    vx_m, _ = qp_vel_profile(
+        win[:, 0], win[:, 1], win[:, 2:4], machines, jnp.ones((m,)),
+        vel_plan, v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,
+        m_veh=m_veh, pin_idx=0, x0_v=x0)
+    vx_full = dynshift.shift_rows_down(
+        jnp.concatenate([vx_m, jnp.zeros((P - m,))])[:, None],
+        c_len, 64)[:, 0]
+    vx_full = jnp.where(idx < c_len, vel_course, vx_full)
+    ax = velops.calc_ax_profile(vx_full, el)
+    stationary = jnp.isclose(vx_full[:-1], 0.0) & jnp.isclose(ax, 0.0) \
+        & (idx[:-1] < n_valid - 1)
+    ax = jnp.where(stationary, -5.0, ax)
+    ax_f = jnp.concatenate([ax, jnp.zeros((1,))])
+    s = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(el[:-1])])
+    return jnp.column_stack([s, path[:, 0], path[:, 1], path[:, 2],
+                             path[:, 3], vx_full, ax_f])
+
+
 @jax.jit
 def emergency_kernel(traj,       # (P, 7) s x y psi kappa vx ax
                      gg):        # (P, 2) local gg (unscaled)

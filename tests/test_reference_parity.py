@@ -119,6 +119,19 @@ def test_reference_parity_sqp():
     assert rep["actions_extra_in_tpu"] == [], rep
 
 
+def test_reference_parity_sqp_objects():
+    """SQP follow mode + infeasibility ladder end-to-end: opponent +
+    blocked zone with vp_type=sqp — exercises the QP follow vmax fill,
+    overtake removal on inaccurate solves, and the reference's SQP-mode
+    recursive-infeasibility brake (VpSQP.calc_vel_brake_em with the 1 m/s
+    cap, OTH:973-984), which round 4 found diverging (36 m/s) before the
+    handler's sqp backup branch was added.  Full 200-tick report:
+    0.096 mm / 0.0021 m/s, zero missing/extra actions."""
+    rep = _run("ref_monteblanco_200_obj_sqp.npz", ticks=60)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
 def test_reference_parity_unclosed_track():
     """Truncated (unclosed) track: exercises the reference's open-track
     offline branch (main_offline_callback.py:91-100), the shrinking
