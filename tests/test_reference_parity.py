@@ -132,6 +132,23 @@ def test_reference_parity_sqp_objects():
     assert rep["actions_extra_in_tpu"] == [], rep
 
 
+def test_reference_parity_sqp_berlin():
+    """SQP on the largest shipped track (berlin, N=40, variable heading).
+    The executed horizon holds the hard budget; the far tail shows the
+    same warm-start knife-edge class as the fb berlin fixture (PARITY.md
+    "Knife edges") and is bounded like it."""
+    path = os.path.join(FIXDIR, "ref_berlin_200_sqp.npz")
+    if not os.path.isfile(path):
+        pytest.skip("fixture not generated")
+    report, rows = replay(path, ticks=60)
+    assert report["actions_missing_in_tpu"] == [], report
+    assert report["actions_extra_in_tpu"] == [], report
+    assert report["max_d_pos_exec_m"] < TOL_POS, report
+    assert report["max_d_vel_exec_mps"] < TOL_VEL, report
+    assert report["max_d_pos_m"] < 0.10, report
+    assert report["max_d_vel_mps"] < 0.6, report
+
+
 def test_reference_parity_unclosed_track():
     """Truncated (unclosed) track: exercises the reference's open-track
     offline branch (main_offline_callback.py:91-100), the shrinking
