@@ -174,6 +174,11 @@ def main():
         if "end_to_end" in prep:
             details["cross_backend_max_dxy_m"] = \
                 prep["end_to_end"].get("max_dxy_m")
+        if "end_to_end_sqp" in prep:
+            details["cross_backend_sqp_max_dxy_m"] = \
+                prep["end_to_end_sqp"].get("max_dxy_m")
+            details["cross_backend_sqp_max_dv_mps"] = \
+                prep["end_to_end_sqp"].get("max_dv_mps")
     except Exception as e:            # pragma: no cover
         details["pallas_parity_error"] = str(e)
 

@@ -2,11 +2,7 @@
 
 TPU-native equivalent of the reference's optional SQP velocity planner
 (``online_graph/src/VpSQP.py`` wrapping the external ``velocity_optimization``
-package and the OSQP C solver, SURVEY.md section 2 component 24).  Instead of
-a sparse CPU solver, the KKT system is factorized densely once per solve and
-reused across all ADMM iterations — at the planner's horizon length
-(~115-160 points) dense triangular solves are MXU work and batch over
-actions/scenarios.
+package and the OSQP C solver, SURVEY.md section 2 component 24).
 
 QP velocity planning in squared-speed coordinates ``x_i = v_i^2`` (standard
 convex reformulation; with the diamond friction model ``dyn_model_exp = 1``
@@ -19,6 +15,20 @@ the constraints are exactly linear):
                 x_0 = v_start^2,  x_{end} <= v_end^2
 
 with ``a_i = (x_{i+1} - x_i) / (2 ds_i)`` the implied acceleration.
+
+Solver structure (the r4->r5 52x fleet-gap fix): the constraint matrix is
+``A = [I; A_acc; A_dec]`` with both dynamics blocks BIDIAGONAL, so the ADMM
+KKT matrix ``K = P + sigma I + A' rho A`` is symmetric TRIDIAGONAL.  The
+production path (:func:`admm_vel_qp`) therefore never forms a dense matrix:
+``A x`` / ``A' w`` are shift-multiply-adds, and the x-update solves the
+tridiagonal system by parallel cyclic reduction — log2(n) elementwise
+sweeps with coefficients factored ONCE per solve (:func:`pcr_factor`).
+This replaced a batched 115x115 Cholesky + explicit inverse (118 ms/tick)
+and a 271 MB/iteration K_inv re-read (427 ms/tick at 93 GB/s) measured in
+``artifacts/SQP_PROFILE.json``; both phases are now O(n log n) VPU work.
+The generic dense :func:`admm_qp` is kept for arbitrary QPs and as the
+cross-check oracle (tests/test_qp_crosscheck.py pins both against an
+independent solver).
 """
 
 from __future__ import annotations
@@ -43,16 +53,16 @@ def admm_qp(P, q, A, l, u, iters: int = 60, rho=1.0,
     n = q.shape[0]
     m = l.shape[0]
     rho = jnp.broadcast_to(jnp.asarray(rho, q.dtype), (m,))
-    K = P + sigma * jnp.eye(n) + (A.T * rho[None, :]) @ A
-    K_cho = jax.scipy.linalg.cho_factor(K)
-    # explicit inverse instead of per-iteration cho_solve: batched
-    # triangular solves are sequential-substitution-bound on TPU (94% of
-    # the SQP fleet tick was triangular_solve before this) — two solves
-    # against the identity ONCE, then every iteration's KKT solve is an
-    # MXU matmul.  K is regularized (sigma + rho-weighted A'A), so the
-    # inverse is well-conditioned; KKT-residual goldens pin the accuracy
-    # (tests/test_qp_kkt.py).
-    K_inv = jax.scipy.linalg.cho_solve(K_cho, jnp.eye(n))
+    with jax.named_scope("gltpl.qp_factor"):
+        K = P + sigma * jnp.eye(n) + (A.T * rho[None, :]) @ A
+        K_cho = jax.scipy.linalg.cho_factor(K)
+        # explicit inverse instead of per-iteration cho_solve: batched
+        # triangular solves are sequential-substitution-bound on TPU —
+        # two solves against the identity ONCE, then every iteration's
+        # KKT solve is an MXU matmul.  K is regularized (sigma +
+        # rho-weighted A'A), so the inverse is well-conditioned;
+        # KKT-residual goldens pin the accuracy (tests/test_qp_kkt.py).
+        K_inv = jax.scipy.linalg.cho_solve(K_cho, jnp.eye(n))
 
     x = jnp.zeros((n,)) if x0 is None else x0
     z = A @ x
@@ -68,10 +78,259 @@ def admm_qp(P, q, A, l, u, iters: int = 60, rho=1.0,
         y_new = y + rho * (alpha * z_t + (1 - alpha) * z - z_new)
         return (x_new, z_new, y_new), None
 
-    (x, z, y), _ = jax.lax.scan(step, (x, z, y), None, length=iters)
-    r_prim = jnp.max(jnp.abs(A @ x - z))
-    r_dual = jnp.max(jnp.abs(P @ x + q + A.T @ y))
+    with jax.named_scope("gltpl.qp_iters"):
+        (x, z, y), _ = jax.lax.scan(step, (x, z, y), None, length=iters)
+        r_prim = jnp.max(jnp.abs(A @ x - z))
+        r_dual = jnp.max(jnp.abs(P @ x + q + A.T @ y))
     return x, z, dict(r_prim=r_prim, r_dual=r_dual, y=y)
+
+
+# ---------------------------------------------------------------------------
+# banded production path
+# ---------------------------------------------------------------------------
+
+def _sh_d(x, s, fill=0.0):
+    """Shift down by s: out[i] = x[i - s] (zero/fill-padded)."""
+    return jnp.concatenate([jnp.full((s,), fill, x.dtype), x[:-s]])
+
+
+def _sh_u(x, s, fill=0.0):
+    """Shift up by s: out[i] = x[i + s] (zero/fill-padded)."""
+    return jnp.concatenate([x[s:], jnp.full((s,), fill, x.dtype)])
+
+
+def _pad_r(v):
+    """(n-1,) -> (n,) placed at rows 0..n-2."""
+    return jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+
+
+def _pad_l(v):
+    """(n-1,) -> (n,) placed at rows 1..n-1."""
+    return jnp.concatenate([jnp.zeros((1,), v.dtype), v])
+
+
+def pcr_factor(a, b, c):
+    """Parallel-cyclic-reduction coefficient tables for a tridiagonal
+    system (SPD / diagonally dominant — the ADMM KKT matrix is both).
+
+    ``a``: (n,) sub-diagonal with a[0] = 0 (coupling of row i to i-1),
+    ``b``: (n,) diagonal, ``c``: (n,) super-diagonal with c[n-1] = 0.
+
+    Each of the ceil(log2 n) levels eliminates the couplings at the current
+    stride, doubling it; all updates are elementwise + static shifts —
+    no sequential substitution anywhere (CLAUDE.md: triangular solves are
+    substitution-bound on this backend).  Returns (alphas (Lv, n),
+    gammas (Lv, n), b_inv (n,)); the rhs sweep lives in :func:`pcr_solve`.
+    """
+    n = b.shape[0]
+    alphas, gammas = [], []
+    s = 1
+    while s < n:
+        alpha = -a / _sh_d(b, s, 1.0)
+        gamma = -c / _sh_u(b, s, 1.0)
+        b = b + alpha * _sh_d(c, s) + gamma * _sh_u(a, s)
+        a = alpha * _sh_d(a, s)
+        c = gamma * _sh_u(c, s)
+        alphas.append(alpha)
+        gammas.append(gamma)
+        s *= 2
+    return jnp.stack(alphas), jnp.stack(gammas), 1.0 / b
+
+
+def pcr_solve(alphas, gammas, b_inv, r):
+    """Apply factored PCR sweeps to a right-hand side: log2(n) shifted
+    multiply-adds, then one divide.  O(n log n) elementwise."""
+    s = 1
+    for lv in range(alphas.shape[0]):
+        r = r + alphas[lv] * _sh_d(r, s) + gammas[lv] * _sh_u(r, s)
+        s *= 2
+    return r * b_inv
+
+
+def admm_vel_qp(d: dict, iters: int = 60, sigma: float = 1e-6,
+                alpha: float = 1.6, w_smooth: float = 1e-4):
+    """Structured ADMM on the velocity QP's banded data (:func:`_vel_qp_data`)
+    — mathematically identical splitting to :func:`admm_qp` on the
+    :func:`build_vel_qp` matrices (pinned in tests/test_qp_crosscheck.py),
+    but with every dense contraction replaced by its banded form:
+
+      * ``A x`` / ``A' w``: shift-multiply-adds over the two bidiagonal
+        dynamics blocks,
+      * the x-update: tridiagonal PCR solve with coefficients factored once.
+
+    :returns: (x, residuals dict)
+    """
+    e, f = d["e"], d["f"]                               # (n-1,)
+    rho_b, rho_a, rho_d = d["rho_box"], d["rho_acc"], d["rho_dec"]
+    q, x0 = d["q"], d["x0"]
+    lb, ub = d["l_box"], d["u_box"]
+    ua, ud = d["u_acc"], d["u_dec"]
+    n = q.shape[0]
+
+    with jax.named_scope("gltpl.qp_factor"):
+        # K = P + sigma I + A' rho A bands; P = I + w_smooth D'D
+        dd = jnp.concatenate([jnp.ones((1,)), jnp.full((n - 2,), 2.0),
+                              jnp.ones((1,))])
+        diag = (1.0 + w_smooth * dd + sigma + rho_b
+                + _pad_r(rho_a * e ** 2 + rho_d * f ** 2)
+                + _pad_l(rho_a + rho_d))
+        off = -w_smooth + rho_a * e - rho_d * f         # (n-1,)
+        alphas, gammas, b_inv = pcr_factor(_pad_l(off), diag, _pad_r(off))
+
+    def Ax(x):
+        return x, e * x[:-1] + x[1:], f * x[:-1] - x[1:]
+
+    def ATw(wb, wa, wd):
+        return wb + _pad_r(e * wa + f * wd) + _pad_l(wa - wd)
+
+    x = x0
+    z_b, z_a, z_d = Ax(x)
+    y_b = jnp.zeros((n,))
+    y_a = jnp.zeros((n - 1,))
+    y_d = jnp.zeros((n - 1,))
+
+    def step(carry, _):
+        x, z_b, z_a, z_d, y_b, y_a, y_d = carry
+        rhs = sigma * x - q + ATw(rho_b * z_b - y_b, rho_a * z_a - y_a,
+                                  rho_d * z_d - y_d)
+        x_t = pcr_solve(alphas, gammas, b_inv, rhs)
+        t_b, t_a, t_d = Ax(x_t)
+        x_n = alpha * x_t + (1 - alpha) * x
+        zh_b = alpha * t_b + (1 - alpha) * z_b
+        zh_a = alpha * t_a + (1 - alpha) * z_a
+        zh_d = alpha * t_d + (1 - alpha) * z_d
+        z_bn = jnp.clip(zh_b + y_b / rho_b, lb, ub)
+        z_an = jnp.clip(zh_a + y_a / rho_a, -_BIG, ua)
+        z_dn = jnp.clip(zh_d + y_d / rho_d, -_BIG, ud)
+        return (x_n, z_bn, z_an, z_dn,
+                y_b + rho_b * (zh_b - z_bn),
+                y_a + rho_a * (zh_a - z_an),
+                y_d + rho_d * (zh_d - z_dn)), None
+
+    with jax.named_scope("gltpl.qp_iters"):
+        (x, z_b, z_a, z_d, y_b, y_a, y_d), _ = jax.lax.scan(
+            step, (x, z_b, z_a, z_d, y_b, y_a, y_d), None, length=iters)
+        t_b, t_a, t_d = Ax(x)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs(t_b - z_b)),
+            jnp.maximum(jnp.max(jnp.abs(t_a - z_a)),
+                        jnp.max(jnp.abs(t_d - z_d))))
+        # P x with P = I + w_smooth D'D (tridiagonal)
+        px = (1.0 + w_smooth * dd) * x \
+            - w_smooth * (_pad_l(x[:-1]) + _pad_r(x[1:]))
+        r_dual = jnp.max(jnp.abs(px + q + ATw(y_b, y_a, y_d)))
+    return x, dict(r_prim=r_prim, r_dual=r_dual,
+                   y=jnp.concatenate([y_b, y_a, y_d]))
+
+
+def _vel_qp_data(kappa, el_lengths, loc_gg, ax_max_machines, v_max,
+                 v_start, v_end=None, end_idx=None, drag_coeff=0.85,
+                 m_veh=1000.0, pin_idx=0, v_max_scale=None, x0_v=None):
+    """Shared derivation of the scaled velocity-QP problem data in banded
+    form — consumed by the production :func:`admm_vel_qp` and by the dense
+    :func:`build_vel_qp` assembly (one derivation, two representations)."""
+    P_ = kappa.shape[0]
+    idx = jnp.arange(P_)
+    kappa_abs = jnp.abs(kappa)
+    ax_max = loc_gg[..., 0]
+    ay_max = loc_gg[..., 1]
+    ds = jnp.maximum(el_lengths, 1e-3)
+    active = el_lengths > 1e-9                       # real segments
+
+    if end_idx is None:
+        end_idx = P_
+    v_max_pt = jnp.broadcast_to(jnp.asarray(v_max), (P_,))
+    if v_max_scale is None:
+        v_max_scale = jnp.max(v_max_pt)
+    v_max = v_max_scale
+
+    # velocity caps
+    v_lat2 = ay_max / jnp.maximum(kappa_abs, 1e-9)
+    x_hi = jnp.minimum(v_lat2, v_max_pt ** 2)
+    if v_end is not None:
+        x_hi = jnp.where(idx >= end_idx - 1, jnp.minimum(x_hi, v_end ** 2),
+                         x_hi)
+    pin_oh = (idx == pin_idx)
+    x_hi = jnp.where(pin_oh, jnp.minimum(x_hi, v_start ** 2), x_hi)
+
+    # machine accel at a nominal velocity (linearization point = lat cap)
+    v_nom = jnp.sqrt(jnp.maximum(x_hi, 0.0))
+    ax_machine = jnp.interp(v_nom, ax_max_machines[:, 0],
+                            ax_max_machines[:, 1])
+    drag = drag_coeff / m_veh                        # * v^2 term
+    # friction-coupling coefficient (diamond model)
+    c_fric = ax_max * kappa_abs / jnp.maximum(ay_max, 1e-9)
+
+    # --- scaling: work in x' = x / s with s = v_max^2 so the box is [0, 1]
+    # and every constraint row has O(1) coefficients (Ruiz-lite) ------------
+    s_x = jnp.maximum(v_max ** 2, 1.0)
+    # (x'_{i+1} - x'_i) + 2 ds (c_fric +- drag) x' <= 2 ds ax / s
+    coef_acc = 2.0 * ds[:-1] * (c_fric[:-1] + drag)
+    coef_dec = 2.0 * ds[:-1] * (c_fric[:-1] - drag)
+    u_acc = 2.0 * ds[:-1] * jnp.minimum(ax_max[:-1], ax_machine[:-1]) / s_x
+    u_dec = 2.0 * ds[:-1] * ax_max[:-1] / s_x
+    # deactivate constraints on padded segments
+    u_acc = jnp.where(active[:-1], u_acc, _BIG)
+    u_dec = jnp.where(active[:-1], u_dec, _BIG)
+
+    x_hi_n = x_hi / s_x
+    # pin the profile start (lower bound up to the cap; the box upper bound
+    # already caps it from above)
+    start_val = jnp.minimum(v_start ** 2,
+                            x_hi[jnp.clip(pin_idx, 0, P_ - 1)]) / s_x
+    l_box = jnp.where(pin_oh, start_val, 0.0)
+
+    # objective: track the velocity caps (the relaxed optimum) as closely
+    # as the dynamics allow — the strongly convex tracking formulation of
+    # the reference's SQP planner (velocity_optimization); plus light
+    # smoothing of the implied acceleration (w_smooth D'D in P)
+    q = -x_hi_n
+
+    # stiff penalties on the dynamics rows (their bounds are tiny in scaled
+    # units, so primal violations there translate to large accelerations)
+    # and on the pinned start row (equality)
+    rho_box = jnp.where(pin_oh, 400.0, 5.0)
+    rho_dyn = jnp.full((P_ - 1,), 400.0)
+    x0 = x_hi_n if x0_v is None else jnp.minimum(x0_v ** 2 / s_x, x_hi_n)
+    return dict(e=coef_acc - 1.0, f=coef_dec + 1.0, q=q,
+                l_box=l_box, u_box=x_hi_n, u_acc=u_acc, u_dec=u_dec,
+                rho_box=rho_box, rho_acc=rho_dyn, rho_dec=rho_dyn,
+                x0=x0, s_x=s_x, x_hi=x_hi, pin_oh=pin_oh)
+
+
+def build_vel_qp(kappa, el_lengths, loc_gg, ax_max_machines, v_max,
+                 v_start, v_end=None, end_idx=None, drag_coeff=0.85,
+                 m_veh=1000.0, w_smooth=1e-4, pin_idx=0, v_max_scale=None,
+                 x0_v=None):
+    """Assemble the scaled vel-profile QP ``min 1/2 x'Px + q'x, l<=Ax<=u``
+    as DENSE matrices from the same :func:`_vel_qp_data` derivation the
+    production banded solver consumes — for independent-solver cross-checks
+    (tests/test_qp_crosscheck.py; r4 advisor finding on the untested OSQP
+    seam) and structured-vs-dense equivalence tests.
+
+    Returns dict(P, q, A, l, u, rho, x0, s_x, x_hi, pin_oh)."""
+    d = _vel_qp_data(kappa, el_lengths, loc_gg, ax_max_machines, v_max,
+                     v_start, v_end=v_end, end_idx=end_idx,
+                     drag_coeff=drag_coeff, m_veh=m_veh, pin_idx=pin_idx,
+                     v_max_scale=v_max_scale, x0_v=x0_v)
+    n = d["q"].shape[0]
+    rows_i = jnp.arange(n - 1)
+    A_acc = (jnp.zeros((n - 1, n))
+             .at[rows_i, rows_i].set(d["e"])
+             .at[rows_i, rows_i + 1].set(1.0))
+    A_dec = (jnp.zeros((n - 1, n))
+             .at[rows_i, rows_i].set(d["f"])
+             .at[rows_i, rows_i + 1].set(-1.0))
+    Dn = (jnp.zeros((n - 1, n))
+          .at[rows_i, rows_i].set(-1.0)
+          .at[rows_i, rows_i + 1].set(1.0))
+    A = jnp.concatenate([jnp.eye(n), A_acc, A_dec], axis=0)
+    l = jnp.concatenate([d["l_box"], jnp.full((2 * (n - 1),), -_BIG)])
+    u = jnp.concatenate([d["u_box"], d["u_acc"], d["u_dec"]])
+    Pmat = jnp.eye(n) + w_smooth * (Dn.T @ Dn)
+    rho = jnp.concatenate([d["rho_box"], d["rho_acc"], d["rho_dec"]])
+    return dict(P=Pmat, q=d["q"], A=A, l=l, u=u, rho=rho, x0=d["x0"],
+                s_x=d["s_x"], x_hi=d["x_hi"], pin_oh=d["pin_oh"])
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -105,86 +364,17 @@ def qp_vel_profile(kappa: jnp.ndarray,
         reference's MPC-shifted ``x0`` from IniSQPStatemachine,
         VpSQP.py:86,213-217); None starts from the relaxed optimum.
     """
-    P_ = kappa.shape[0]
-    idx = jnp.arange(P_)
-    kappa_abs = jnp.abs(kappa)
-    ax_max = loc_gg[..., 0]
-    ay_max = loc_gg[..., 1]
-    ds = jnp.maximum(el_lengths, 1e-3)
-    active = el_lengths > 1e-9                       # real segments
-
-    if end_idx is None:
-        end_idx = P_
-    v_max_pt = jnp.broadcast_to(jnp.asarray(v_max), (P_,))
-    if v_max_scale is None:
-        v_max_scale = jnp.max(v_max_pt)
-    v_max = v_max_scale
-
-    # velocity caps
-    v_lat2 = ay_max / jnp.maximum(kappa_abs, 1e-9)
-    x_hi = jnp.minimum(v_lat2, v_max_pt ** 2)
-    if v_end is not None:
-        x_hi = jnp.where(idx >= end_idx - 1, jnp.minimum(x_hi, v_end ** 2),
-                         x_hi)
-    pin_oh = (idx == pin_idx)
-    x_hi = jnp.where(pin_oh, jnp.minimum(x_hi, v_start ** 2), x_hi)
-
-    # machine accel at a nominal velocity (linearization point = lat cap)
-    v_nom = jnp.sqrt(jnp.maximum(x_hi, 0.0))
-    ax_machine = jnp.interp(v_nom, ax_max_machines[:, 0], ax_max_machines[:, 1])
-    drag = drag_coeff / m_veh                        # * v^2 term
-    # friction-coupling coefficient (diamond model)
-    c_fric = ax_max * kappa_abs / jnp.maximum(ay_max, 1e-9)
-
-    n = P_
-    # --- scaling: work in x' = x / s with s = v_max^2 so the box is [0, 1]
-    # and every constraint row has O(1) coefficients (Ruiz-lite) ------------
-    s_x = jnp.maximum(v_max ** 2, 1.0)
-    rows_i = jnp.arange(n - 1)
-    # (x'_{i+1} - x'_i) + 2 ds (c_fric +- drag) x' <= 2 ds ax / s
-    Dn = (jnp.zeros((n - 1, n))
-          .at[rows_i, rows_i].set(-1.0)
-          .at[rows_i, rows_i + 1].set(1.0))
-    coef_acc = 2.0 * ds[:-1] * (c_fric[:-1] + drag)
-    coef_dec = 2.0 * ds[:-1] * (c_fric[:-1] - drag)
-    A_acc = Dn + jnp.zeros((n - 1, n)).at[rows_i, rows_i].set(coef_acc)
-    A_dec = -Dn + jnp.zeros((n - 1, n)).at[rows_i, rows_i].set(coef_dec)
-    u_acc = 2.0 * ds[:-1] * jnp.minimum(ax_max[:-1], ax_machine[:-1]) / s_x
-    u_dec = 2.0 * ds[:-1] * ax_max[:-1] / s_x
-    # deactivate constraints on padded segments
-    u_acc = jnp.where(active[:-1], u_acc, _BIG)
-    u_dec = jnp.where(active[:-1], u_dec, _BIG)
-
-    A = jnp.concatenate([jnp.eye(n), A_acc, A_dec], axis=0)
-    l = jnp.concatenate([jnp.zeros((n,)),
-                         jnp.full((2 * (n - 1),), -_BIG)])
-    x_hi_n = x_hi / s_x
-    u = jnp.concatenate([x_hi_n, u_acc, u_dec])
-    # pin the profile start (lower bound up to the cap; the box upper bound
-    # already caps it from above)
-    start_val = jnp.minimum(v_start ** 2,
-                            x_hi[jnp.clip(pin_idx, 0, n - 1)]) / s_x
-    l = l.at[:n].set(jnp.where(pin_oh, start_val, l[:n]))
-
-    # objective: track the velocity caps (the relaxed optimum) as closely as
-    # the dynamics allow — the strongly convex tracking formulation of the
-    # reference's SQP planner (velocity_optimization); plus light smoothing
-    # of the implied acceleration
-    Pmat = jnp.eye(n) + w_smooth * (Dn.T @ Dn)
-    q = -x_hi_n
-
-    # stiff penalties on the dynamics rows (their bounds are tiny in scaled
-    # units, so primal violations there translate to large accelerations)
-    # and on the pinned start row (equality)
-    rho_box = jnp.where(pin_oh, 400.0, 5.0)
-    rho_vec = jnp.concatenate([rho_box, jnp.full((2 * (n - 1),), 400.0)])
-    x0 = x_hi_n if x0_v is None else jnp.minimum(x0_v ** 2 / s_x, x_hi_n)
-    x_n, _, res = admm_qp(Pmat, q, A, l, u, iters=iters, rho=rho_vec,
-                          x0=x0)
-    x = jnp.clip(x_n * s_x, 0.0, x_hi)
+    with jax.named_scope("gltpl.qp_setup"):
+        d = _vel_qp_data(kappa, el_lengths, loc_gg, ax_max_machines,
+                         v_max, v_start, v_end=v_end, end_idx=end_idx,
+                         drag_coeff=drag_coeff, m_veh=m_veh,
+                         pin_idx=pin_idx, v_max_scale=v_max_scale,
+                         x0_v=x0_v)
+    x_n, res = admm_vel_qp(d, iters=iters, w_smooth=w_smooth)
+    x = jnp.clip(x_n * d["s_x"], 0.0, d["x_hi"])
     # exact start pin (the ADMM satisfies it only to solver tolerance, but
     # the handler's velocity-bound check is strict, OTH:905-911)
-    x = jnp.where(pin_oh, jnp.minimum(v_start ** 2, x_hi), x)
+    x = jnp.where(d["pin_oh"], jnp.minimum(v_start ** 2, d["x_hi"]), x)
     return jnp.sqrt(jnp.maximum(x, 0.0)), res
 
 

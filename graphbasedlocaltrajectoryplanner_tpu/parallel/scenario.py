@@ -846,10 +846,15 @@ def make_sharded_tick(lat: Lattice, mesh: jax.sharding.Mesh,
         cost = jnp.where(res["valid"], res["cost"], jnp.inf)
         best_local = jnp.min(cost)
         n_valid_actions = jnp.sum(res["valid"].astype(jnp.int32))
+        # fleet_actions sums over the DATA axes only; with a spatial-only
+        # mesh the batch is fully replicated per device, so the local count
+        # already IS the fleet count — a psum over the spatial axis would
+        # overcount by its size (r4 advisor finding)
         stats = dict(
             fleet_min_cost=jax.lax.pmin(best_local, axis_name=axes),
-            fleet_actions=jax.lax.psum(n_valid_actions,
-                                       axis_name=data_axes or axes),
+            fleet_actions=(jax.lax.psum(n_valid_actions,
+                                        axis_name=data_axes)
+                           if data_axes else n_valid_actions),
         )
         return res, stats
 

@@ -6,7 +6,8 @@ Re-expressed in closed form: the planned velocity course is piecewise linear
 in arc length, so ``ds/dt = v(s)`` integrates exactly per segment
 (exponential in-segment advance for a linear ``v(s)``) instead of the
 reference's 1 ms Euler loop — vectorized over the whole course, no Python
-stepping.  A stopped course still creeps at the reference's 1e-4 m/s floor.
+stepping.  A stopped course still creeps at the reference's floor of
+0.1 m/s (1e-4 m of arc per 1 ms reference Euler step).
 """
 
 from __future__ import annotations

@@ -120,6 +120,16 @@ def replay(fixture_path, ticks=None, verbose=False):
                             - np.pi / 2)
         ltpl.set_startpos(pos_est=pos_est, heading_est=heading_est)
 
+        dyn_params = bool(fix["dyn_params"]) if "dyn_params" in fix.files \
+            else False
+        zone_normals = (np.asarray(fix["zone_normals"])
+                        if "zone_normals" in fix.files else None)
+        if dyn_params or zone_normals is not None:
+            try:
+                from parity import dyn_schedule as dynsch
+            except ImportError:
+                sys.path.insert(0, HERE)
+                import dyn_schedule as dynsch
         if "with_zone" in fix.files:
             with_zone = bool(fix["with_zone"])
         else:       # legacy fixtures: the _obj scenario carried the zone
@@ -146,11 +156,30 @@ def replay(fixture_path, ticks=None, verbose=False):
                 obj_list = [{"X": r[0], "Y": r[1], "theta": r[2],
                              "v": r[3], "length": r[4], "id": int(r[5]),
                              "type": "physical"} for r in fix[okey]]
+            if zone_normals is not None:
+                # mirror the recorder: zone through the normals interface
+                # (run_reference.py --normzone)
+                if tick < dynsch.NORMZONE_REMOVE_TICK:
+                    ltpl._obj_zone = ltpl._obj_list_handler.update_zone(
+                        zone_id="norm_zone", zone_data=zone_normals,
+                        zone_type="normals")
+                elif tick == dynsch.NORMZONE_REMOVE_TICK:
+                    ltpl._obj_zone = ltpl._obj_list_handler.update_zone(
+                        zone_id=None, zone_data=None)
             ltpl.calc_paths(prev_action_id=sel, object_list=obj_list,
                             blocked_zones=zones)
             pos = fix[f"t{tick:04d}_pos"]
             vel = float(fix[f"t{tick:04d}_vel"])
-            traj_set = ltpl.calc_vel_profile(pos_est=pos, vel_est=vel)[0]
+            if dyn_params:
+                traj_set = ltpl.calc_vel_profile(
+                    pos_est=pos, vel_est=vel,
+                    vel_max=dynsch.vel_max_at(tick),
+                    gg_scale=dynsch.gg_scale_at(tick),
+                    local_gg=dynsch.local_gg_dict(ltpl._oth.last_path_param),
+                    incl_emerg_traj=True)[0]
+            else:
+                traj_set = ltpl.calc_vel_profile(pos_est=pos,
+                                                 vel_est=vel)[0]
 
             ref_actions = {k.split("_a_")[1] for k in fix.files
                            if k.startswith(f"t{tick:04d}_a_")}

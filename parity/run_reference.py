@@ -76,6 +76,15 @@ def main():
     ap.add_argument("--csv", default=None,
                     help="explicit track CSV path (e.g. a truncated/"
                          "unclosed track); --track becomes the label")
+    ap.add_argument("--dyn", action="store_true",
+                    help="dynamic-parameter scenario (parity/dyn_schedule):"
+                         " vel_max/gg_scale sweeps, per-point local_gg, "
+                         "incl_emerg_traj=True")
+    ap.add_argument("--normzone", action="store_true",
+                    help="deliver the blocked zone via the 'normals' "
+                         "interface (ObjectListInterface.update_zone) "
+                         "instead of node lists; implies the std-example "
+                         "opponent")
     args = ap.parse_args()
 
     clock = FakeClock()
@@ -91,6 +100,10 @@ def main():
     import graph_ltpl  # noqa: E402  (the reference package)
 
     suffix = "_obj" if args.objects else ("_obj2" if args.objects2 else "")
+    if args.normzone:
+        suffix += "_normzone"
+    if args.dyn:
+        suffix += "_dyn"
     if args.vp != "fb":
         suffix += "_" + args.vp
     out = args.out or os.path.join(
@@ -138,9 +151,10 @@ def main():
             obj_dummies.append(
                 graph_ltpl.testing_tools.src.objectlist_dummy.
                 ObjectlistDummy(dynamic=True, vel_scale=vs, s0=s0))
-    if args.objects:
+    if args.objects or args.normzone:
         obj_dummy = graph_ltpl.testing_tools.src.objectlist_dummy. \
             ObjectlistDummy(dynamic=True, vel_scale=0.3, s0=150.0)
+    if args.objects:
         # hardcoded zone example (main_std_example.py:90-93, verbatim)
         zones = {"sample_zone": [
             [64, 64, 64, 64, 64, 64, 64, 65, 65, 65, 65, 65, 65, 65,
@@ -148,6 +162,19 @@ def main():
             [0, 1, 2, 3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6],
             np.array([[-20.54, 227.56], [23.80, 186.64]]),
             np.array([[-23.80, 224.06], [20.17, 183.60]])]}
+
+    sys.path.insert(0, HERE)
+    import dyn_schedule as dynsch
+
+    norm_arr = None
+    if args.normzone:
+        # normals-typed zone built from the RECORDING stack's graph skeleton
+        # (get_zone_nodes.py:52-60 matches against graph_base.refline /
+        # normvec_normalized); the array is stored in the fixture and the
+        # replay feeds it verbatim to ITS normals interface
+        gb = ltpl_obj._Graph_LTPL__graph_base
+        norm_arr = dynsch.normzone_array(np.asarray(gb.refline),
+                                         np.asarray(gb.normvec_normalized))
 
     record = {}
     traj_set = {"straight": None}
@@ -166,6 +193,22 @@ def main():
                     o["id"] = i + 1
                 obj_list.extend(ol)
 
+        if args.normzone:
+            # deliver/remove the zone through the normals interface directly
+            # (the facade's calc_paths hardcodes zone_type='nodes',
+            # Graph_LTPL.py:329-332 — the vehicle's ZMQ path feeds normals
+            # zones through ObjectListInterface.update_zone)
+            olh = ltpl_obj._Graph_LTPL__obj_list_handler
+            if tick < dynsch.NORMZONE_REMOVE_TICK:
+                ltpl_obj._Graph_LTPL__obj_zone = olh.update_zone(
+                    zone_id="norm_zone", zone_data=norm_arr,
+                    zone_type="normals")
+            elif tick == dynsch.NORMZONE_REMOVE_TICK:
+                # de-register -> removal flagging
+                # (ObjectListInterface.py:225-236)
+                ltpl_obj._Graph_LTPL__obj_zone = olh.update_zone(
+                    zone_id=None, zone_data=None)
+
         ltpl_obj.calc_paths(prev_action_id=sel_action, object_list=obj_list,
                             blocked_zones=zones)
 
@@ -177,8 +220,21 @@ def main():
                           last_vel_course=(traj_set[sel_action][0][:, 5]),
                           iter_time=TICK_DT)
 
-        traj_set = ltpl_obj.calc_vel_profile(pos_est=pos_est,
-                                             vel_est=vel_est)[0]
+        if args.dyn:
+            # dynamic-parameter surface (parity/dyn_schedule.py): per-point
+            # local_gg sized to the CURRENT path params (OTH:649-666),
+            # vel_max/gg_scale sweeps, emergency entry requested
+            oth = ltpl_obj._Graph_LTPL__oth
+            ppar = oth._OnlineTrajectoryHandler__last_action_set_path_param
+            traj_set = ltpl_obj.calc_vel_profile(
+                pos_est=pos_est, vel_est=vel_est,
+                vel_max=dynsch.vel_max_at(tick),
+                gg_scale=dynsch.gg_scale_at(tick),
+                local_gg=dynsch.local_gg_dict(ppar),
+                incl_emerg_traj=True)[0]
+        else:
+            traj_set = ltpl_obj.calc_vel_profile(pos_est=pos_est,
+                                                 vel_est=vel_est)[0]
 
         record[f"t{tick:04d}_pos"] = np.asarray(pos_est, float)
         record[f"t{tick:04d}_vel"] = np.float64(vel_est)
@@ -200,6 +256,9 @@ def main():
     record["track"] = np.bytes_(args.track.encode())
     record["tick_dt"] = np.float64(TICK_DT)
     record["with_zone"] = np.bool_(zones is not None)
+    record["dyn_params"] = np.bool_(args.dyn)
+    if norm_arr is not None:
+        record["zone_normals"] = np.asarray(norm_arr, np.float64)
     if args.csv:
         record["csv_path"] = np.bytes_(os.path.abspath(args.csv).encode())
     os.makedirs(os.path.dirname(out), exist_ok=True)

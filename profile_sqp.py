@@ -1,0 +1,172 @@
+"""SQP fleet-tick profiler (VERDICT r4 item 1): where does the 1024-batch
+SQP velocity tick spend its time?
+
+Produces artifacts/SQP_PROFILE.json with
+  * wall times: fb tick, sqp tick, until="assembly" cut (shared prefix),
+  * profiler-trace scope attribution of the sqp tick (window / assembly /
+    qp_setup / qp_factor / qp_iters / velocity-other / other),
+  * isolated QP micro: per-ADMM-iteration cost and setup+factor cost for
+    the B*5 batched m=115 solves, plus the implied HBM-traffic roofline
+    for the dominant term (B5 dense K_inv matvecs per iteration).
+
+Run on the TPU (no args); CPU works but the numbers are not the ones that
+matter.
+"""
+
+import glob
+import gzip
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(ROOT, "artifacts", "monteblanco_lattice.npz")
+
+SQP_SCOPES = (
+    ("gltpl.qp_factor", "qp_factor"),
+    ("gltpl.qp_iters", "qp_iters"),
+    ("gltpl.qp_setup", "qp_setup"),
+    ("gltpl.plan_window_pallas", "window"),
+    ("gltpl.hit_slab_pallas", "window"),
+    ("gltpl.object_selection", "window"),
+    ("gltpl.plan_window", "window"),
+    ("gltpl.const_path_objects", "window"),
+    ("gltpl.backtrace", "assembly"),
+    ("gltpl.assemble", "assembly"),
+    ("gltpl.const_splice", "assembly"),
+    ("gltpl.velocity", "velocity_other"),
+    ("gltpl.emergency", "velocity_other"),
+)
+
+
+def _time(fn, *a, iters=5):
+    import jax
+    out = fn(*a)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) / iters)
+    return float(np.median(ts))
+
+
+def trace_attribution(tick, scen, iters=3):
+    import jax
+    out = tick(scen)
+    jax.block_until_ready(out)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(iters):
+                out = tick(scen)
+            jax.block_until_ready(out)
+        files = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not files:
+            return None
+        with gzip.open(files[0]) as fh:
+            tr = json.load(fh)
+    agg = {}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e or "args" not in e:
+            continue
+        nm = e["args"].get("tf_op") or e["args"].get("long_name") or ""
+        if "jit(" not in nm:
+            continue
+        stage = "other"
+        for scope, st in SQP_SCOPES:
+            if scope in nm:
+                stage = st
+                break
+        agg[stage] = agg.get(stage, 0.0) + e["dur"]
+    total = sum(agg.values())
+    if total <= 0:
+        return None
+    return dict(stage_ms={k: round(v / iters / 1e3, 3)
+                          for k, v in sorted(agg.items())},
+                total_ms=round(total / iters / 1e3, 3))
+
+
+def qp_micro(batch5: int = 5120, m: int = 115):
+    """Isolated batched-QP stage: representative random instances."""
+    import jax
+    import jax.numpy as jnp
+    from graphbasedlocaltrajectoryplanner_tpu.ops.qp import qp_vel_profile
+
+    rng = np.random.default_rng(0)
+    kappa = jnp.asarray(rng.uniform(-0.05, 0.05, (batch5, m)), jnp.float32)
+    el = jnp.full((batch5, m), 2.5, jnp.float32)
+    gg = jnp.full((batch5, m, 2), 10.0, jnp.float32)
+    machines = jnp.array([[0.0, 5.0], [100.0, 5.0]], jnp.float32)
+    v_start = jnp.asarray(rng.uniform(15.0, 40.0, (batch5,)), jnp.float32)
+    x0 = jnp.full((batch5, m), 20.0, jnp.float32)
+
+    def solve(iters):
+        f = jax.jit(jax.vmap(
+            lambda k, e, g, vs, x0v: qp_vel_profile(
+                k, e, g, machines, 70.0, vs, v_end=10.0, end_idx=m,
+                pin_idx=0, x0_v=x0v, iters=iters)[0]))
+        return _time(f, kappa, el, gg, v_start, x0)
+
+    t60 = solve(60)
+    t5 = solve(5)
+    per_iter = (t60 - t5) / 55.0
+    setup = t5 - 5.0 * per_iter
+    # dominant iteration traffic: K_inv (B5, m, m) f32 re-read per iteration
+    kinv_gb = batch5 * m * m * 4 / 1e9
+    return dict(batch5=batch5, m=m,
+                t_iters60_ms=round(t60 * 1e3, 2),
+                t_iters5_ms=round(t5 * 1e3, 2),
+                per_iteration_ms=round(per_iter * 1e3, 3),
+                setup_factor_ms=round(setup * 1e3, 2),
+                kinv_gb_per_iter=round(kinv_gb, 3),
+                kinv_read_gb_per_s=round(kinv_gb / max(per_iter, 1e-9), 1))
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(ROOT, "artifacts", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from graphbasedlocaltrajectoryplanner_tpu.models.lattice import \
+        load_lattice
+    from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    lat = load_lattice(CACHE)
+    assert lat is not None, "run bench.py once to build the lattice cache"
+    scen = sc.random_scenarios(lat, batch=batch, seed=3, n_objects=1)
+
+    report = {"batch": batch, "backend": jax.default_backend()}
+
+    tick_fb = sc.make_batched_tick(lat)
+    report["fb_tick_ms"] = round(_time(tick_fb, scen) * 1e3, 2)
+
+    tick_asm = sc.make_batched_tick(lat, until="assembly")
+    report["assembly_cut_ms"] = round(_time(tick_asm, scen) * 1e3, 2)
+
+    tick_sqp = sc.make_batched_tick(lat, vp_backend="sqp", sqp_m=115)
+    t_sqp = _time(tick_sqp, scen)
+    report["sqp_tick_ms"] = round(t_sqp * 1e3, 2)
+    report["sqp_replans_per_sec"] = round(batch / t_sqp, 1)
+
+    report["sqp_trace"] = trace_attribution(tick_sqp, scen)
+    report["qp_micro"] = qp_micro(batch5=batch * 5, m=115)
+
+    out = os.path.join(ROOT, "artifacts", "SQP_PROFILE.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,14 +166,15 @@ from graphbasedlocaltrajectoryplanner_tpu.models.lattice import load_lattice
 from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 lat = load_lattice({lat_path!r})
 scen = sc.random_scenarios(lat, batch={batch}, seed=42, n_objects=1)
-tick = sc.make_batched_tick(lat, use_pallas=False)
+tick = sc.make_batched_tick(lat, use_pallas=False, **{tick_kw!r})
 out = tick(scen)
 np.savez({out_path!r}, trajs=np.asarray(out["trajs"]),
          valid=np.asarray(out["valid"]), nv=np.asarray(out["n_valid"]))
 """
 
 
-def check_end_to_end(lat_path: str, batch: int = 8):
+def check_end_to_end(lat, batch: int = 8, tick_kw: dict = None,
+                     bar_dxy: float = 2e-3, bar_dv: float = 2e-2):
     """Full-tick cross-backend gate: the compiled tick on THIS backend vs a
     forced-CPU oracle subprocess, compared on every valid trajectory.
 
@@ -181,21 +182,32 @@ def check_end_to_end(lat_path: str, batch: int = 8):
     XLA:TPU's default bf16 matmul precision rounded the assembly's one-hot
     coefficient selections — invisible to the CPU-forced test suite and to
     the per-kernel gates above (the XLA reference ran on the same rounded
-    backend).  Gate: 2 mm / 0.02 m/s, two orders inside the 2 cm / 0.1 m/s
-    behavioral-parity budget."""
+    backend).  Gate (fb): 2 mm / 0.02 m/s, two orders inside the
+    2 cm / 0.1 m/s behavioral-parity budget.  The SQP-backend variant
+    (``tick_kw=dict(vp_backend="sqp", ...)``, VERDICT r4 item 2) uses a
+    velocity bar sized to ADMM fixed-iteration tolerance: 60 firmly
+    nonexpansive iterations keep cross-backend rounding contained but not
+    at scan-exactness level.
+
+    The CALLER's lattice is serialized for the oracle (r4 advisor: keying
+    on the artifacts cache silently checked a stale lattice when bench
+    passed its own)."""
     import subprocess
     import sys as _sys
     import tempfile
 
     import jax
     from graphbasedlocaltrajectoryplanner_tpu.models.lattice import (
-        load_lattice)
+        save_lattice)
     from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 
+    tick_kw = tick_kw or {}
     with tempfile.TemporaryDirectory() as td:
         out_path = os.path.join(td, "oracle.npz")
+        lat_path = os.path.join(td, "lattice.npz")
+        save_lattice(lat, lat_path)
         code = _E2E_ORACLE.format(lat_path=lat_path, batch=batch,
-                                  out_path=out_path)
+                                  out_path=out_path, tick_kw=tick_kw)
         r = subprocess.run([_sys.executable, "-c", code], cwd=TOP,
                            capture_output=True, text=True, timeout=900,
                            env=dict(os.environ, JAX_PLATFORMS="cpu"))
@@ -204,9 +216,8 @@ def check_end_to_end(lat_path: str, batch: int = 8):
                         stderr=r.stderr[-500:])
         ref = np.load(out_path)
 
-    lat = load_lattice(lat_path)
     scen = sc.random_scenarios(lat, batch=batch, seed=42, n_objects=1)
-    out = jax.jit(sc.make_batched_tick(lat))(scen)
+    out = jax.jit(sc.make_batched_tick(lat, **tick_kw))(scen)
     t = np.asarray(out["trajs"])
     valid_equal = bool(np.array_equal(np.asarray(out["valid"]),
                                       ref["valid"]))
@@ -222,9 +233,9 @@ def check_end_to_end(lat_path: str, batch: int = 8):
             dv = max(dv, float(np.abs(
                 t[b, s, :n, 5] - ref["trajs"][b, s, :n, 5]).max()))
     return dict(max_dxy_m=dxy, max_dv_mps=dv, valid_sets_equal=valid_equal,
-                n_valid_equal=nv_equal,
+                n_valid_equal=nv_equal, bar_dxy=bar_dxy, bar_dv=bar_dv,
                 ok=bool(valid_equal and nv_equal
-                        and dxy <= 2e-3 and dv <= 2e-2))
+                        and dxy <= bar_dxy and dv <= bar_dv))
 
 
 def run(batch: int = 128, lat=None):
@@ -251,11 +262,16 @@ def run(batch: int = 128, lat=None):
     report.update(check_window_collision(lat, batch))
     report["velocity"] = check_velocity()
     report["backtrace"] = check_backtrace()
-    if os.path.isfile(cache):
-        report["end_to_end"] = check_end_to_end(cache)
+    # full-tick cross-backend gates on the CALLER's lattice — fb and the
+    # SQP backend (VERDICT r4 item 2: every shipped backend gets the
+    # hardware-vs-CPU-oracle diff)
+    report["end_to_end"] = check_end_to_end(lat)
+    report["end_to_end_sqp"] = check_end_to_end(
+        lat, tick_kw=dict(vp_backend="sqp", sqp_m=115),
+        bar_dxy=2e-3, bar_dv=5e-2)
     report["ok"] = all(report[k]["ok"] for k in
                        ("window", "collision", "velocity", "backtrace",
-                        "end_to_end") if k in report)
+                        "end_to_end", "end_to_end_sqp") if k in report)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=1)
