@@ -129,6 +129,52 @@ def main():
     except Exception as e:            # pragma: no cover
         details["multi_opponent_error"] = str(e)
 
+    # batch-scaling curve (VERDICT r4 item 5): throughput vs batch size up
+    # to 8k scenarios/chip — makes the "4k+ scenarios on one chip" claim a
+    # measured row and locates the saturation point.  Each batch shape is
+    # its own XLA program (persistent cache amortizes across runs); set
+    # BENCH_SWEEP=0 to skip.
+    if os.environ.get("BENCH_SWEEP", "1") == "1":
+        sweep = {}
+        tick_sw = sc.make_batched_tick(lat)
+        for b in (256, 1024, 2048, 4096, 8192):
+            try:
+                scb = sc.random_scenarios(lat, batch=b, seed=5, n_objects=1)
+                jax.block_until_ready(tick_sw(scb))
+                nb = max(3, min(iters, 32768 // b))
+                t0 = time.perf_counter()
+                for _ in range(nb):
+                    outb = tick_sw(scb)
+                jax.block_until_ready(outb)
+                sweep[str(b)] = round(b * nb / (time.perf_counter() - t0), 1)
+            except Exception as e:            # pragma: no cover
+                sweep[str(b)] = f"failed: {type(e).__name__}"
+                break
+        details["batch_sweep_replans_per_sec"] = sweep
+        numeric = {int(k): v for k, v in sweep.items()
+                   if isinstance(v, float)}
+        if numeric:
+            b_best = max(numeric, key=numeric.get)
+            details["batch_sweep_note"] = (
+                f"peak {numeric[b_best]:.0f} replans/s at batch {b_best}; "
+                "largest successful batch "
+                f"{max(numeric)} ({numeric[max(numeric)]:.0f} replans/s)")
+            try:
+                # window-DP logical bandwidth at the peak batch (the cost
+                # slab the DP consumes per tick vs the tick's window time)
+                from graphbasedlocaltrajectoryplanner_tpu.parallel.profiling \
+                    import stage_timings_trace
+                scp = sc.random_scenarios(lat, batch=b_best, seed=5,
+                                          n_objects=1)
+                stp = stage_timings_trace(lat, scp, iters=3)
+                if stp:
+                    dp_gb = (b_best * 4 * lat.H_max * lat.N * lat.N * 4
+                             / 1e9)
+                    details["window_dp_gb_per_s_at_peak_batch"] = round(
+                        dp_gb / (stp["stage_ms"]["window"] / 1e3), 1)
+            except Exception:                 # pragma: no cover
+                pass
+
     # fleet-scale SQP velocity backend (VERDICT r3 item 2): the batched
     # engine honoring vp_type=sqp — 5 dense m-point ADMM QP solves per
     # scenario on the MXU (ops/qp.py; m = the reference's

@@ -379,7 +379,11 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
         v_end_consv = jnp.sqrt(tire_end_mps2 * veh_turn)
         x0v = (sqp_x0 if sqp_x0 is not None else jnp.full((P,), 20.0))[:m]
         in_tire_m = idx_m >= m - tire_end_idx
-        cols = jnp.stack([kappa, el, gg_s[:, 0], gg_s[:, 1]], axis=1)
+        # UNSCALED gg: the reference applies gg_scale only through the fb
+        # planner (OTH:674-680 passes vel_max alone to VpSQP; VpSQP consumes
+        # loc_gg raw) — caught by the dyn-parameter SQP golden (gg_scale
+        # sweep diverged 22 m/s when gg_s leaked in here)
+        cols = jnp.stack([kappa, el, gg[:, 0], gg[:, 1]], axis=1)
 
         # --- normal branch: window over the v_idx-cut slice --------------
         win_n = _sqp_m_window(cols, pref_idx, v_idx - pref_idx, m)
@@ -405,7 +409,7 @@ def velocity_kernel(path,            # (P, 5) x, y, psi, kappa, el (cut @ pos)
         win_f = _sqp_m_window(cols, pref_idx, n_valid - pref_idx, m)
         gg_f = jnp.where(in_tire_m[:, None], tire_end_mps2, win_f[:, 2:4])
         vmax_f = _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d,
-                                  veh_length, gg_s[0, 0], sqp_step)
+                                  veh_length, gg[0, 0], sqp_step)
         vx_qf, res_f = qp_vel_profile(
             win_f[:, 0], win_f[:, 1], gg_f, machines, vmax_f, vel_start,
             v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,

@@ -72,6 +72,18 @@ class ObjectlistDummy:
                  "id": 1, "length": 5.0, "v": vel}]
 
 
+def publish_tick(sock, dummy, topic: str = "v2x_to_all"):
+    """One publisher iteration: advance the dummy, send [topic, json] as a
+    two-part message (reference objectlist_dummy.py:204-207 wire format).
+    Shared by :func:`publish_loop` and the loopback wire test
+    (tests/test_zmq_wire.py).  Returns the sent list."""
+    import zmq
+    obj_list = dummy.get_objectlist()
+    sock.send_string(topic, zmq.SNDMORE)
+    sock.send_json(obj_list)
+    return obj_list
+
+
 def publish_loop(globtraj_path: str, vel_scale: float = 0.5,
                  port: int = 47209, topic: str = "v2x_to_all"):
     """Standalone ZMQ publisher (reference objectlist_dummy.py:192-210).
@@ -88,9 +100,7 @@ def publish_loop(globtraj_path: str, vel_scale: float = 0.5,
                             globtraj_path=globtraj_path)
     try:
         while True:
-            obj_list = dummy.get_objectlist()
-            sock.send_string(topic, zmq.SNDMORE)
-            sock.send_json(obj_list)
+            publish_tick(sock, dummy, topic)
             time.sleep(0.1)
     except KeyboardInterrupt:
         # graceful shutdown: clear all zones/objects twice before closing

@@ -23,9 +23,18 @@ import numpy as np
 
 
 def vel_max_at(tick: int) -> float:
-    """Behavior-planner velocity cap; the drop forces the brake prefix."""
+    """Behavior-planner velocity cap; the drop forces the brake prefix.
+
+    24 m/s, deliberately NOT 25: at 25 m/s the per-row traversal time of
+    the 2.5 m step grid is exactly the 0.1 s ``delaycomp``, putting the
+    ``cumsum(t_approx) <= delaycomp`` comparison (OTH.get_ref_idx:571)
+    permanently ON its boundary — the two stacks' 1e-7-different profiles
+    then flip ``vel_idx`` by one, which shifts the SQP m-window's
+    conservative end ramp a row (observed 1.9 m/s far-tail artifacts at
+    vel_max=25, same fp-inherent class as the berlin warm-start knife
+    edge, parity/KNIFE_EDGE.json)."""
     if 60 <= tick < 100:
-        return 25.0
+        return 24.0
     return 100.0
 
 

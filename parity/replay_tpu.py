@@ -51,14 +51,20 @@ def compare_traj(ref_traj, tpu_traj):
     """Max position [m] / velocity [m/s] deviation, TPU interpolated at the
     reference's relative-s stations over the common arc-length range.
 
-    Returns (d_pos, d_vel, d_pos_exec, d_vel_exec): full-horizon maxima
-    plus maxima restricted to the first ``EXEC_HORIZON_M`` metres.  The far
-    tail of a 300 m horizon is replanned every tick and is knife-edge
-    sensitive: a warm-start split landing within ~1e-4 m of a trajectory
-    row boundary can shift the plan-start layer by one, which moves the C2
-    refit's end layer and bends the last segments by a few cm (observed
-    once on berlin; PARITY.md "Knife edges").
-    """
+    Returns (d_pos, d_vel, d_pos_exec, d_vel_exec, d_vel_moving,
+    d_stop_m): full-horizon maxima, maxima restricted to the first
+    ``EXEC_HORIZON_M`` metres, the velocity deviation restricted to
+    stations where the reference still moves (>= 2 m/s), and the
+    stop-position disagreement in metres (0 when neither profile stops).
+    The far tail of a 300 m horizon is replanned every tick and is
+    knife-edge sensitive: a warm-start split landing within ~1e-4 m of a
+    trajectory row boundary can shift the plan-start layer by one, which
+    moves the C2 refit's end layer and bends the last segments by a few cm
+    (observed once on berlin; PARITY.md "Knife edges").  Near a
+    brake-to-zero stop ``dv/ds = a/v`` diverges, so the pointwise-in-s
+    velocity diff is ill-conditioned there — emergency-profile gates use
+    ``d_vel_moving`` + ``d_stop_m`` instead (PARITY.md knife edges,
+    'emergency stop-row cliff')."""
     s_ref = ref_traj[:, 0] - ref_traj[0, 0]
     s_tpu = tpu_traj[:, 0] - tpu_traj[0, 0]
     s_max = min(s_ref[-1], s_tpu[-1])
@@ -70,11 +76,39 @@ def compare_traj(ref_traj, tpu_traj):
     d_pos = np.hypot(x - ref_traj[m, 1], y - ref_traj[m, 2])
     d_vel = np.abs(v - ref_traj[m, 5])
     near = s_q <= EXEC_HORIZON_M
+    moving = ref_traj[m, 5] >= 2.0
+    d_vel_moving = float(np.max(d_vel[moving])) if moving.any() else 0.0
+    # squared-velocity (specific kinetic energy) deviation: brake dynamics
+    # are linear in v^2 (v^2(s) = v0^2 - 2 int a ds), so upstream profile
+    # differences do NOT amplify in this space — the well-conditioned
+    # metric for brake-to-zero profiles
+    d_vsq = float(np.max(np.abs(v ** 2 - ref_traj[m, 5] ** 2)))
+
+    def stop_s(s, vv):
+        z = np.flatnonzero(vv <= 1e-6)
+        return float(s[z[0]]) if z.size else None
+
+    st_r = stop_s(s_ref, ref_traj[:, 5])
+    st_t = stop_s(s_tpu, tpu_traj[:, 5])
+    if st_r is None and st_t is None:
+        d_stop = 0.0
+    elif st_r is None or st_t is None:
+        d_stop = float("inf")
+    else:
+        d_stop = abs(st_r - st_t)
     return (float(np.max(d_pos)), float(np.max(d_vel)),
-            float(np.max(d_pos[near])), float(np.max(d_vel[near])))
+            float(np.max(d_pos[near])), float(np.max(d_vel[near])),
+            d_vel_moving, d_stop, d_vsq)
 
 
-def replay(fixture_path, ticks=None, verbose=False):
+def replay(fixture_path, ticks=None, verbose=False, probe=None):
+    """:param probe: optional callable ``probe(tick, ltpl)`` invoked after
+    each tick's calc_paths+calc_vel_profile — instrumentation hook for
+    forensics (parity/knife_edge_forensics.py)."""
+    return _replay(fixture_path, ticks=ticks, verbose=verbose, probe=probe)
+
+
+def _replay(fixture_path, ticks=None, verbose=False, probe=None):
     fix = np.load(fixture_path)
     n_ticks = int(fix["ticks"]) if ticks is None else ticks
     track = fix["track"].item().decode()
@@ -189,13 +223,16 @@ def replay(fixture_path, ticks=None, verbose=False):
             for a in sorted(tpu_actions - ref_actions):
                 extra.append((tick, a))
             for a in sorted(ref_actions & tpu_actions):
-                d_pos, d_vel, d_pos_e, d_vel_e = compare_traj(
-                    fix[f"t{tick:04d}_a_{a}"],
-                    np.asarray(traj_set[a][0], float))
-                rows.append((tick, a, d_pos, d_vel, d_pos_e, d_vel_e))
+                d_pos, d_vel, d_pos_e, d_vel_e, d_vel_mv, d_stop, d_vsq \
+                    = compare_traj(fix[f"t{tick:04d}_a_{a}"],
+                                   np.asarray(traj_set[a][0], float))
+                rows.append((tick, a, d_pos, d_vel, d_pos_e, d_vel_e,
+                             d_vel_mv, d_stop, d_vsq))
                 if verbose and tick % 25 == 0:
                     print(f"tick {tick:4d} {a:9s} d_pos={d_pos*100:7.2f} cm  "
                           f"d_vel={d_vel:6.3f} m/s")
+            if probe is not None:
+                probe(tick, ltpl)
             clock.advance(TICK_DT)
     finally:
         time.time = real_time

@@ -90,6 +90,11 @@ def main():
     clock = FakeClock()
     time.time = clock.time  # must happen before graph_ltpl imports resolve
 
+    if args.dyn and args.vp == "sqp":
+        # dict local_gg -> the reference must execute its variable-friction
+        # branches (see shims/velocity_optimization/src/VelQP.py docstring)
+        os.environ["GLTPL_SHIM_VAR_FRICTION"] = "1"
+
     # the reference targets numpy<1.24 (np.object alias,
     # main_offline_callback.py:160); restore the alias for this process
     if not hasattr(np, "object"):

@@ -1,7 +1,16 @@
 """``vo.src.VelQP.VelQP`` stand-in: the solver-configuration object VpSQP
 instantiates once (VpSQP.py:54-58) and reads ``m`` / ``sqp_stgs`` /
 ``sym_sc_`` from.  Constants mirror the graph_ltpl example configuration
-(see package docstring)."""
+(see package docstring).
+
+``b_var_friction`` is env-switchable (``GLTPL_SHIM_VAR_FRICTION=1``): the
+dyn-parameter fixture recorder sets it so the reference executes its
+variable-friction branches (VpSQP.py:189-211, 335-359: per-point loc_gg
+consumption, tire_end_mps2=3 conservative window) — the semantics the TPU
+handler maps onto dict-typed ``local_gg`` — while the constant-gg fixtures
+keep the package default False (loc_gg ignored, tire window = aymax)."""
+
+import os
 
 
 class VelQP:
@@ -13,7 +22,8 @@ class VelQP:
         # path (loc_gg ignored, tire_end_mps2 = aymax — a no-op window);
         # b_var_power=False keeps P_max constant (ignored by the shim core)
         self.sqp_stgs = {
-            "b_var_friction": False,
+            "b_var_friction":
+                os.environ.get("GLTPL_SHIM_VAR_FRICTION", "0") == "1",
             "b_var_power": False,
             "b_print_sm": False,
         }

@@ -53,8 +53,19 @@ def run_multihost(n_proc: int, cpu_devices_per_proc: int, batch_per_device,
     assert len({round(r["fleet_min_cost"], 3) for r in reports}) == 1, reports
     r0 = reports[0]
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/SCALING_MULTIHOST.json", "w") as fh:
-        json.dump(dict(reports=reports), fh, indent=1)
+    out_path = "artifacts/SCALING_MULTIHOST.json"
+    data = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as fh:
+            data = json.load(fh)
+    data[f"{n_proc}_processes"] = dict(reports=reports)
+    data["note"] = ("loopback multi-process run on one machine: validates "
+                    "jax.distributed init, the (dcn, dp) mesh and cross-"
+                    "process collectives (fleet stats must agree on every "
+                    "rank); throughput is NOT a hardware scaling number "
+                    "here (all processes share one CPU)")
+    with open(out_path, "w") as fh:
+        json.dump(data, fh, indent=1)
     print(f"multihost: processes={r0['process_count']} "
           f"global_devices={r0['global_devices']} batch={r0['batch']} "
           f"replans/s={r0['replans_per_sec']:.1f} "
@@ -161,6 +172,13 @@ def main():
     summary = dict(devices=counts, virtual_cpu=bool(args.cpu_devices),
                    replans_per_sec={str(k): v for k, v in results.items()},
                    scaling_efficiency={str(k): eff[k] for k in counts})
+    if args.cpu_devices:
+        summary["mesh_overhead_note"] = (
+            "virtual-CPU mesh: 'scaling_efficiency' holds the TOTAL-"
+            "throughput ratio vs 1 virtual device (ideal 1.0, >1.0 = the "
+            "mesh path utilizes the shared cores better) — NOT per-device "
+            "efficiency; all virtual devices share one CPU's physical "
+            "cores, so a per-device reading would be meaningless")
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/SCALING.json", "w") as fh:
         json.dump(summary, fh, indent=1)

@@ -107,6 +107,61 @@ def test_reference_parity_all_tracks(track):
     assert rep["actions_extra_in_tpu"] == [], rep
 
 
+def test_reference_parity_dynamic_params():
+    """Dynamic-parameter surface golden (VERDICT r4 item 3): vel_max drop
+    at tick 60 -> the fb brake-prefix path (VpForwardBackward.py:86-139,
+    OTH:746-760), gg_scale 0.75 from tick 120, per-point local_gg dict
+    (OTH:649-666) and incl_emerg_traj=True (OTH:1027-1034,
+    calc_brake_emergency.py:9-47) every tick.  Replays the brake window."""
+    rep = _run("ref_monteblanco_200_dyn.npz", ticks=110)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+    # the emergency entry must be present and compared from tick 0
+    assert rep["pairs_compared"] >= 2 * 110, rep
+
+
+def test_reference_parity_dynamic_params_sqp():
+    """SQP variant of the dynamic-parameter golden: pointwise vel_max cap
+    in-QP (no brake prefix, OTH:745-760), reference variable-friction
+    branches (VpSQP.py:189-211 via GLTPL_SHIM_VAR_FRICTION=1: per-point
+    loc_gg + tire_end_mps2=3), gg_scale correctly IGNORED by the SQP
+    planner (OTH:674-680 — this golden caught a 22 m/s divergence when
+    gg_scale leaked into the TPU SQP branch).
+
+    Gates: positions strict everywhere; velocities strict (full horizon)
+    for the search actions; the emergency entry is gated in squared-
+    velocity space + stop-position agreement instead of the pointwise-in-s
+    velocity diff — near its brake-to-zero stop ``dv/ds = a/v`` diverges,
+    so ~1e-2 m/s upstream differences read as ~0.4 m/s at the near-stop
+    stations while the kinetic-energy deviation stays < 1 (m/s)^2 and the
+    stop position agrees within one 2.5 m row (PARITY.md 'Knife edges',
+    'emergency stop-row cliff')."""
+    path = os.path.join(FIXDIR, "ref_monteblanco_200_dyn_sqp.npz")
+    if not os.path.isfile(path):
+        pytest.skip("fixture not generated")
+    report, rows = replay(path, ticks=130)
+    assert report["actions_missing_in_tpu"] == [], report
+    assert report["actions_extra_in_tpu"] == [], report
+    assert report["max_d_pos_m"] < TOL_POS, report
+    non_em = [r for r in rows if r[1] != "emergency"]
+    em = [r for r in rows if r[1] == "emergency"]
+    assert max(r[3] for r in non_em) < TOL_VEL, report       # full horizon
+    assert max(r[5] for r in non_em) < TOL_VEL, report       # executed
+    assert max(r[8] for r in em) < 5.0, report               # (m/s)^2
+    assert max(r[7] for r in em) <= 2.6, report              # stop row
+
+
+def test_reference_parity_normals_zone():
+    """Normals-typed zone golden (VERDICT r4 item 4): the zone delivered
+    through ObjectListInterface.update_zone(zone_type='normals') end-to-end
+    — normal-vector matching + inflation + node-range conversion
+    (get_zone_nodes.py:38-80) — plus the zone removal flagging at tick 120
+    (ObjectListInterface.py:225-236).  Replays through the removal."""
+    rep = _run("ref_monteblanco_200_normzone.npz", ticks=130)
+    assert rep["actions_missing_in_tpu"] == [], rep
+    assert rep["actions_extra_in_tpu"] == [], rep
+
+
 def test_reference_parity_sqp():
     """vp_type=sqp end-to-end golden (VERDICT r3 item 3): the reference's
     VpSQP + OTH SQP seam executed verbatim (QP core supplied to the
