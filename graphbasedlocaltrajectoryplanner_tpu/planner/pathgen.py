@@ -33,7 +33,8 @@ from graphbasedlocaltrajectoryplanner_tpu.ops import splines as spl
 from graphbasedlocaltrajectoryplanner_tpu.ops import collision as col
 from graphbasedlocaltrajectoryplanner_tpu.ops import search as srch
 from graphbasedlocaltrajectoryplanner_tpu.ops.search import INF
-from graphbasedlocaltrajectoryplanner_tpu.ops.heading import heading_to_dir
+from graphbasedlocaltrajectoryplanner_tpu.ops.heading import (
+    heading_to_dir, dir_to_heading)
 
 # action slot order (fixed); mapping to the reference's primitive names
 SLOT_STRAIGHT, SLOT_FOLLOW, SLOT_LEFT, SLOT_RIGHT = 0, 1, 2, 3
@@ -447,44 +448,51 @@ def assemble_action_kernel(lat: Lattice,
          node_idx[:H, None].astype(coeffs.dtype),
          npts_e[:, None].astype(coeffs.dtype),
          ecoeffs[:H]], axis=1)                          # (H, 8+2+8)
-    if jax.default_backend() == "cpu":
-        oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(coeffs.dtype)
-        rows = jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
-    else:
-        # exact one-hot selection in 3 DEFAULT MXU passes via a bf16x3
-        # table split — half of Precision.HIGHEST's 6 (ops/pallas_window.
-        # split3_bf16; reconstruction is exact, gated on hardware by
-        # tools/pallas_parity.py via the end-to-end replans)
-        from graphbasedlocaltrajectoryplanner_tpu.ops.pallas_window import (
-            split3_bf16)
-        oh = (seg_id[:, None] == jnp.arange(H)[None, :]).astype(jnp.bfloat16)
-        hi, mid, lo = split3_bf16(table)
-        kw = dict(preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
-        # the barriers INSIDE split3_bf16 are what keeps the split from
-        # being elided (hardware e2e gate: tools/pallas_parity.py); the
-        # three partial dots sum exactly in f32
-        rows = (jnp.matmul(oh, hi, **kw) + jnp.matmul(oh, mid, **kw)
-                + jnp.matmul(oh, lo, **kw))
-    c_p = rows[:, :8].reshape(p_max, 4, 2)              # per-point coeffs
-    start_p = rows[:, 8].astype(jnp.int32)
-    npts_p = rows[:, 9].astype(jnp.int32)
-    ce_p = rows[:, 10:18].reshape(p_max, 4, 2)          # stored edge coeffs
+    # ONE exact f32 dot, TRANSPOSED: rows_T = table' oh' gives the
+    # (18, p_max) coefficient-major product the per-point evaluation
+    # consumes row-by-row.  Two r5 trace findings drive this shape: the
+    # select is HBM-bandwidth-bound, not MXU-bound — a single HIGHEST dot
+    # (6 MXU passes) materializes ONE product where the previous bf16x3
+    # split (3 passes) materialized three partials plus their combining
+    # add (3 x 0.23 ms + 0.60 ms at batch 1024); and the point-major
+    # (p_max, 18) form forced a 113 MB relayout copy + slice pass
+    # (0.40 + 0.29 ms) to feed the coefficient-major consumers.
+    oh_T = (jnp.arange(H)[:, None] == seg_id[None, :]).astype(coeffs.dtype)
+    rows_T = jnp.matmul(table.T, oh_T,
+                        precision=jax.lax.Precision.HIGHEST)  # (18, p_max)
+    start_p = rows_T[8].astype(jnp.int32)
+    npts_p = rows_T[9].astype(jnp.int32)
 
     within = (idxp - start_p).astype(jnp.float32)
     t = jnp.clip(within / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)
-    pts = spl.eval_spline(c_p, t)                       # (p_max, 2)
-    psi, kappa = spl.head_curv_an(c_p, t)
+    # inline cubic evaluation from the coefficient rows — the exact
+    # arithmetic of spl.eval_spline / eval_spline_d / eval_spline_dd /
+    # head_curv_an, component-wise (same ops, same order: bitwise equal)
+    ax0, ay0, ax1, ay1, ax2, ay2, ax3, ay3 = (rows_T[i] for i in range(8))
+    px = ax0 + t * (ax1 + t * (ax2 + t * ax3))
+    py = ay0 + t * (ay1 + t * (ay2 + t * ay3))
+    dx = ax1 + t * (2.0 * ax2 + t * 3.0 * ax3)
+    dy = ay1 + t * (2.0 * ay2 + t * 3.0 * ay3)
+    ddx = 2.0 * ax2 + t * 6.0 * ax3
+    ddy = 2.0 * ay2 + t * 6.0 * ay3
+    psi = dir_to_heading(dx, dy)
+    denom = jnp.power(dx ** 2 + dy ** 2, 1.5)
+    kappa = (dx * ddy - dy * ddx) / jnp.maximum(denom, 1e-12)
     # per-point element length of the PRE-refit stored edge: recomputed from
     # the edge coefficients with the exact offline-table formula
     # (models/lattice._build_edges: |eval(c, t_{i+1}) - eval(c, t_i)|,
     # t_i = min(i / (npts - 1), 1))
     t2 = jnp.clip((within + 1.0) / jnp.maximum(npts_p - 1, 1), 0.0, 1.0)
-    el = jnp.linalg.norm(spl.eval_spline(ce_p, t2) - spl.eval_spline(ce_p, t),
-                         axis=-1)
+    ex0, ey0, ex1, ey1, ex2, ey2, ex3, ey3 = (rows_T[10 + i]
+                                              for i in range(8))
+    dxe = (ex0 + t2 * (ex1 + t2 * (ex2 + t2 * ex3))
+           - (ex0 + t * (ex1 + t * (ex2 + t * ex3))))
+    dye = (ey0 + t2 * (ey1 + t2 * (ey2 + t2 * ey3))
+           - (ey0 + t * (ey1 + t * (ey2 + t * ey3))))
+    el = jnp.sqrt(dxe * dxe + dye * dye)
     el = jnp.where(idxp >= n_valid - 1, 0.0, el)
 
-    path = jnp.stack([pts[:, 0], pts[:, 1], psi, kappa, el], axis=1)
+    path = jnp.stack([px, py, psi, kappa, el], axis=1)
     # final point: evaluate the refit spline's last *real* segment at t=1
     # (the generic sampler lands on a degenerate padded segment there);
     # padding rows freeze at the same final-point values, so one select

@@ -676,18 +676,34 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
                 jnp.concatenate([vx_m, jnp.zeros(vx_m.shape[:-1] + (P - m,))],
                                 axis=-1)[..., None], c_len, 64)[..., 0]
 
-        # --- normal branch per slot: window over the v_idx-cut slice -----
+        # --- ALL FIVE QPs as ONE batched solve: the 4 normal-branch slots
+        # (window over the v_idx-cut slice) stacked with the follow branch
+        # (full-path slice, pointwise opponent vmax) — a single vmapped
+        # ADMM runs ONE 150-step scan over 5 rows instead of two scans
+        # (300 sequential steps); the per-row math is unchanged (the
+        # normal rows' pointwise vmax is the broadcast scalar, so
+        # v_max_scale = max = vel_max exactly as the scalar form) --------
         win_n = jax.vmap(lambda c, l: _sqp_m_window(c, c_len, l, m))(
             cols4, v_idx - pref_idx)                     # (4, m, 4)
-        gg_n = jnp.where(in_tire_m[None, :, None], tire_end_mps2,
-                         win_n[:, :, 2:4])
-        vx_qn, res_n = jax.vmap(
-            lambda k, e, g, vs, x0: qp_vel_profile(
-                k, e, g, machines, vel_max, vs, v_end=v_end_consv,
+        win_f = _sqp_m_window(cols4[F], c_len, n_valids[F] - pref_idx[F], m)
+        vmax_f = _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d,
+                                  veh_length, gg[0, 0], sqp_step)
+        win5 = jnp.concatenate([win_n, win_f[None]], axis=0)  # (5, m, 4)
+        gg5 = jnp.where(in_tire_m[None, :, None], tire_end_mps2,
+                        win5[:, :, 2:4])
+        vmax5 = jnp.concatenate(
+            [jnp.full((4, m), vel_max), vmax_f[None]], axis=0)
+        vstart5 = jnp.concatenate([vel_start, vel_start[F:F + 1]])
+        x05 = jnp.concatenate([x0v, x0v[F:F + 1]], axis=0)
+        vx5, res5 = jax.vmap(
+            lambda k, e, g, vm, vs, x0: qp_vel_profile(
+                k, e, g, machines, vm, vs, v_end=v_end_consv,
                 end_idx=m, drag_coeff=drag_coeff, m_veh=m_veh,
                 pin_idx=0, x0_v=x0))(
-            win_n[:, :, 0], win_n[:, :, 1], gg_n, vel_start, x0v)
-        st_n = jax.vmap(qp_solver_status)(res_n)         # (4,)
+            win5[:, :, 0], win5[:, :, 1], gg5, vmax5, vstart5, x05)
+        st5 = jax.vmap(qp_solver_status)(res5)           # (5,)
+        st_n, st_f = st5[:4], st5[4]
+        vx_qn, vx_qf = vx5[:4], vx5[4]
         # infeasibility / inaccuracy handoff (VpSQP:238-243, 415-430):
         # all slots zero on infeasible (-3); overtake slots additionally
         # removed on inaccurate solves (2)
@@ -695,18 +711,6 @@ def velocity_stage_scenario(paths,        # (4, P, 5) per-slot assembled paths
         zero_n = (st_n == -3) | (is_ot & (st_n == 2))
         vx_qn = jnp.where(zero_n[:, None], 0.0, vx_qn)
         vx_normal = place_back(vx_qn)                    # (4, P)
-
-        # --- follow branch (slot F): window over the full-path slice,
-        # pointwise opponent vmax on the uniform step grid ----------------
-        win_f = _sqp_m_window(cols4[F], c_len, n_valids[F] - pref_idx[F], m)
-        gg_f = jnp.where(in_tire_m[:, None], tire_end_mps2, win_f[:, 2:4])
-        vmax_f = _sqp_follow_vmax(m, vel_max, v_obj, obj_dist, safety_d,
-                                  veh_length, gg[0, 0], sqp_step)
-        vx_qf, res_f = qp_vel_profile(
-            win_f[:, 0], win_f[:, 1], gg_f, machines, vmax_f, vel_start[F],
-            v_end=v_end_consv, end_idx=m, drag_coeff=drag_coeff,
-            m_veh=m_veh, pin_idx=0, x0_v=x0v[F])
-        st_f = qp_solver_status(res_f)
         vx_qf = jnp.where(st_f == -3, 0.0, vx_qf)
         vx_follow = place_back(vx_qf)                    # (P,)
         follow_bound = jnp.abs(
