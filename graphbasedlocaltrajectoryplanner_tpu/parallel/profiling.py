@@ -19,14 +19,21 @@ from graphbasedlocaltrajectoryplanner_tpu.parallel import scenario as sc
 
 
 def _time(fn, *a, iters=10):
+    """Median of 3 timing windows: the tunneled dev chip occasionally
+    returns early from block_until_ready, and a single window then
+    reports a bogus (near-zero) time — medians reject one such window
+    (CLAUDE.md: use medians, never minima)."""
     import jax
     out = fn(*a)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*a)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dts.append(time.perf_counter() - t0)
+    return float(np.median(dts)) / iters, out
 
 
 SCOPE_TO_STAGE = (

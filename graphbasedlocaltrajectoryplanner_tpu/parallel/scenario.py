@@ -490,8 +490,19 @@ def scenario_tick(lat: Lattice, scen: Scenario,
         cost_all = jnp.sum(
             jnp.where(jnp.arange(N)[None, :] == goal_node[:, None],
                       goal_tot, 0.0), axis=1)
-        bp_sel = jnp.einsum('ks,shn->khn', ohs.astype(jnp.int32),
-                            out["bp"]).astype(jnp.int32)
+        # int32 einsum lowers to a slow strided loop fusion (r5 trace:
+        # 0.17 ms at 90 GB/s); backpointers are node ids < N — exact in
+        # bf16 while N <= 256 (8 mantissa bits), so a DEFAULT MXU dot
+        # selects them exactly; wider lattices keep the exact int path
+        if N <= 256:
+            bp_sel = jnp.einsum(
+                'ks,shn->khn', ohs.astype(jnp.bfloat16),
+                out["bp"].astype(jnp.bfloat16),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            bp_sel = jnp.einsum('ks,shn->khn', ohs.astype(jnp.int32),
+                                out["bp"]).astype(jnp.int32)
         nodes4 = make_backtrace_walk()(bp_sel, goal_node, h_safe)
         end_nodes = jnp.take_along_axis(nodes4, h_safe[:, None],
                                         axis=1)[:, 0]
