@@ -2,6 +2,7 @@
 DP feasibility, assembly geometry."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -212,3 +213,62 @@ def test_horizon_shrink_on_fully_blocked_layer(lat):
     # largest feasible horizon is 9 (one before the blocked layer)
     hs = np.nonzero(feas[pg.SLOT_STRAIGHT, :h_goal + 1])[0]
     assert hs.max() == 9
+
+
+def test_assembly_inlined_eval_matches_splines(lat):
+    """The r5 transposed-dot sampler inlines the cubic / derivative /
+    heading / curvature / element-length arithmetic from the coefficient
+    rows.  Pin it against the ops/splines composition it claims to
+    replicate (same ops, same order), evaluated from the kernel's own
+    outputs: resampling the returned refit coefficients at the implied
+    per-point parameters must reproduce path x/y/psi/kappa to fma-level
+    tolerance (see ref_eval below)."""
+    from graphbasedlocaltrajectoryplanner_tpu.ops import splines as spl
+
+    rl = np.asarray(lat.rl_idx)
+    out = _plan(lat, 0, int(rl[0]))
+    h_goal = int(out["h_goal"])
+    nodes, _ = pg.backtrace_slot(out["best"][0], out["bp"][0], out["vg"][0],
+                                 jnp.int32(h_goal))
+    psi_s = float(np.asarray(lat.node_psi)[0, rl[0]])
+    P = 256
+    res = pg.assemble_action_kernel(lat, out["win_layers"], nodes,
+                                    jnp.int32(h_goal), jnp.float32(psi_s),
+                                    p_max=P)
+    path = np.asarray(res["path"])
+    n_valid = int(res["n_valid"])
+    node_idx = np.asarray(res["node_idx"])
+    H = lat.H_max
+    cf = np.asarray(res["coeffs"])                    # (H, 8) [x cols | y]
+    coeffs = np.stack([cf[:, :4], cf[:, 4:]], axis=-1)  # (H, 4, 2)
+
+    # per-point segment + parameter exactly as the kernel derives them
+    idxp = np.arange(P)
+    seg = np.clip((node_idx[1:H + 1][None, :] <= idxp[:, None]).sum(1),
+                  0, H - 1)
+    npts = np.diff(node_idx[:H + 1]) + 1              # per-segment counts
+    t = np.clip((idxp - node_idx[seg]).astype(np.float32)
+                / np.maximum(npts[seg] - 1, 1), 0.0, 1.0)
+
+    c_p = jnp.asarray(coeffs[seg], jnp.float32)       # (P, 4, 2)
+    t_j = jnp.asarray(t, jnp.float32)
+
+    @jax.jit
+    def ref_eval(c, tt):
+        # jitted so XLA applies the same fma contraction it applies to
+        # the kernel's inlined expressions — eager op-by-op dispatch
+        # differs at the ~1e-5 level (fma rounding), which is exactly
+        # the compilation-context variance this test must NOT flag
+        pts = spl.eval_spline(c, tt)
+        psi, kappa = spl.head_curv_an(c, tt)
+        return pts, psi, kappa
+
+    pts, psi, kappa = map(np.asarray, ref_eval(c_p, t_j))
+    # interior sampled rows (the final row & padding are the separate
+    # fin-select); identical arithmetic in the same compilation context
+    # agrees to fma-level tolerance
+    m = slice(0, max(n_valid - 1, 1))
+    np.testing.assert_allclose(path[m, 0], pts[m, 0], atol=2e-5, rtol=0)
+    np.testing.assert_allclose(path[m, 1], pts[m, 1], atol=2e-5, rtol=0)
+    np.testing.assert_allclose(path[m, 2], psi[m], atol=2e-5, rtol=0)
+    np.testing.assert_allclose(path[m, 3], kappa[m], atol=2e-6, rtol=0)
